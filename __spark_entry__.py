@@ -1,10 +1,18 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` smoke-runs the flagship pipeline; ``queries()`` /
+``oracle_sql()`` expose every implemented operator from SURVEY.md §2 for the
+driver's DuckDB cross-check at sf=0.01.
+
+Marker-bearing inputs are derived from ``documents.text`` via a *portable
+SQL* injection expression (``plans/oracle.marked_expr``) evaluated
+identically by Spark and DuckDB, so both engines see byte-identical inputs;
+the Spark side then runs the real engine (tokenize → Arrow kernel →
+detokenize) while the oracle re-expresses the reference semantics in SQL.
+
+Aggregate parity note: double sums are computed as ``sum(cast(. as
+decimal))`` then cast back to double, so distributed vs serial summation
+order cannot produce differing float results.
 """
 
 from __future__ import annotations
@@ -12,27 +20,407 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hidden_characters_detector_spark.functions.kernel import (
+    DetectorConfig, FULL_CLEAN)
+from hidden_characters_detector_spark.operators.clean import (
+    clean_detect, detect_events)
+from hidden_characters_detector_spark.operators.text_ops import (
+    detokenize, tokenize)
+from hidden_characters_detector_spark.plans import oracle as osql
+from hidden_characters_detector_spark.sources import synth
+
+SPARK, DUCKDB = osql.SPARK, osql.DUCKDB
 
 
+def _table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _utc(spark: SparkSession) -> None:
+    """Pin session tz so window-start rendering matches the naive-timestamp
+    oracle regardless of host timezone."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def _marked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + injected ``marked`` column (identical to the oracle's)."""
+    return _table(spark, sf_dir, "documents").selectExpr(
+        "doc_id", "source", "lang", "n_chars",
+        f"{osql.marked_expr()} AS marked")
+
+
+def _cleaned(spark: SparkSession, sf_dir: str,
+             cfg: DetectorConfig = FULL_CLEAN) -> DataFrame:
+    toks = tokenize(_marked(spark, sf_dir), text_col="marked")
+    return clean_detect(toks, cfg)
+
+
+# =========================================================================
+# flagship entry: synthetic token table -> clean -> per-source density
+# =========================================================================
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    tok = synth.token_table(spark, "/root/testdata/sf0.001")
+    cleaned = clean_detect(tok, FULL_CLEAN)
+    return (cleaned.groupBy("source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum(F.col("had_marker").cast("long")).alias("docs_with_markers"),
+                 F.sum("n_detected").alias("total_detected"),
+                 F.sum("n_processed").alias("total_processed"),
+                 F.sum("n_tok").alias("total_tokens"),
+                 F.sum("n_tok_clean").alias("total_tokens_clean")))
+
+
+# =========================================================================
+# queries + oracles
+# =========================================================================
+def q_scan_stats(spark, sf_dir):
+    """A3 global ScanStats fold (ref :544-563, :881-899)."""
+    return _cleaned(spark, sf_dir).agg(
+        F.count("*").cast("long").alias("files_processed"),
+        F.sum(F.col("had_marker").cast("long")).alias("files_with_markers"),
+        F.sum("n_detected").cast("long").alias("total_markers_detected"),
+        F.sum("n_processed").cast("long").alias("total_markers_processed"))
+
+
+def _o_scan_stats():
+    d = osql.detected_expr(DUCKDB, "marked")
+    chg = osql.changed_expr(DUCKDB, "marked")
+    return f"""
+    SELECT CAST(count(*) AS BIGINT) AS files_processed,
+           CAST(sum(CASE WHEN {d} > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS files_with_markers,
+           CAST(sum({d}) AS BIGINT) AS total_markers_detected,
+           CAST(sum(CASE WHEN {chg} THEN {d} ELSE 0 END) AS BIGINT)
+               AS total_markers_processed
+    FROM {osql.marked_docs_sql(DUCKDB)} m"""
+
+
+def q_clean_text(spark, sf_dir):
+    """P1-P6 full fused clean; output is the detokenized cleaned string."""
+    return detokenize(
+        _cleaned(spark, sf_dir).select("doc_id", "tokens_clean"),
+        list_col="tokens_clean", out_col="text_clean")
+
+
+def _o_clean_text():
+    return f"""
+    SELECT doc_id, {osql.clean_expr(DUCKDB, 'marked')} AS text_clean
+    FROM {osql.marked_docs_sql(DUCKDB)} m"""
+
+
+def q_detect_counts(spark, sf_dir):
+    """Per-doc per-family detection counts (P3/P4/P5 membership)."""
+    toks = tokenize(_marked(spark, sf_dir).select("doc_id", "marked"),
+                    text_col="marked")
+    ev = detect_events(toks, FULL_CLEAN)
+    fam = (ev.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_detected"),
+        F.sum((F.col("marker_type") == "Hidden").cast("long"))
+        .alias("n_hidden"),
+        F.sum((F.col("marker_type") == "IdeographicVS").cast("long"))
+        .alias("n_ivs"),
+        F.sum((F.col("marker_type") == "Typographic").cast("long"))
+        .alias("n_typo")))
+    docs = _marked(spark, sf_dir).select("doc_id")
+    return (docs.join(fam, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("n_detected", F.lit(0)).alias("n_detected"),
+                    F.coalesce("n_hidden", F.lit(0)).alias("n_hidden"),
+                    F.coalesce("n_ivs", F.lit(0)).alias("n_ivs"),
+                    F.coalesce("n_typo", F.lit(0)).alias("n_typo")))
+
+
+def _o_detect_counts():
+    h = osql.count_expr(DUCKDB, "marked", osql.HIDDEN_CLASS)
+    i = osql.count_expr(DUCKDB, "marked", osql.IVS_CLASS)
+    t = osql.count_expr(DUCKDB, "marked", osql.TYPO_CLASS)
+    return f"""
+    SELECT doc_id, CAST({h} + {i} + {t} AS BIGINT) AS n_detected,
+           CAST({h} AS BIGINT) AS n_hidden, CAST({i} AS BIGINT) AS n_ivs,
+           CAST({t} AS BIGINT) AS n_typo
+    FROM {osql.marked_docs_sql(DUCKDB)} m"""
+
+
+def q_stats_by_source(spark, sf_dir):
+    """A3 grouped by source — the skew-prone keyed aggregate."""
+    return (_cleaned(spark, sf_dir).groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.col("had_marker").cast("long")).alias("docs_with_markers"),
+        F.sum("n_detected").cast("long").alias("total_detected")))
+
+
+def _o_stats_by_source():
+    d = osql.detected_expr(DUCKDB, "marked")
+    return f"""
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN {d} > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS docs_with_markers,
+           CAST(sum({d}) AS BIGINT) AS total_detected
+    FROM {osql.marked_docs_sql(DUCKDB)} m GROUP BY source"""
+
+
+def q_detect_events(spark, sf_dir):
+    """P6 event emission: one row per MarkerReport (clean mode)."""
+    toks = tokenize(_marked(spark, sf_dir).select("doc_id", "marked"),
+                    text_col="marked")
+    return detect_events(toks, FULL_CLEAN).select(
+        "doc_id", F.col("idx").cast("long").alias("idx"),
+        F.col("token").cast("long").alias("token"), "marker_type")
+
+
+def _o_detect_events():
+    # single-line docs: idx-in-line == position in string (0-based)
+    return f"""
+    SELECT doc_id, CAST(t.i - 1 AS BIGINT) AS idx,
+           CAST(unicode(substr(marked, CAST(t.i AS INTEGER), 1)) AS BIGINT)
+               AS token,
+           CASE WHEN regexp_matches(substr(marked, CAST(t.i AS INTEGER), 1),
+                                    {osql.q(osql.HIDDEN_CLASS)})
+                THEN 'Hidden'
+                WHEN regexp_matches(substr(marked, CAST(t.i AS INTEGER), 1),
+                                    {osql.q(osql.IVS_CLASS)})
+                THEN 'IdeographicVS'
+                ELSE 'Typographic' END AS marker_type
+    FROM {osql.marked_docs_sql(DUCKDB)} m,
+         unnest(range(1, length(marked) + 1)) AS t(i)
+    WHERE regexp_matches(substr(marked, CAST(t.i AS INTEGER), 1),
+                         {osql.q(osql.HIDDEN_CLASS)})
+       OR regexp_matches(substr(marked, CAST(t.i AS INTEGER), 1),
+                         {osql.q(osql.IVS_CLASS)})
+       OR regexp_matches(substr(marked, CAST(t.i AS INTEGER), 1),
+                         {osql.q(osql.TYPO_CLASS)})"""
+
+
+def q_excluded_zwsp(spark, sf_dir):
+    """P1 user-excluded-char filter: ZWSP passes through untouched."""
+    cfg = DetectorConfig(excluded=frozenset({0x200B}))
+    return detokenize(
+        _cleaned(spark, sf_dir, cfg).select("doc_id", "tokens_clean"),
+        list_col="tokens_clean", out_col="text_clean")
+
+
+def _o_excluded_zwsp():
+    e = osql.clean_expr(DUCKDB, "marked", excluded=frozenset({0x200B}))
+    return f"""
+    SELECT doc_id, {e} AS text_clean
+    FROM {osql.marked_docs_sql(DUCKDB)} m"""
+
+
+def q_word_mode(spark, sf_dir):
+    """P1 --word: Word-common chars merged into the excluded set."""
+    cfg = DetectorConfig(exclude_word_chars=True)
+    return detokenize(
+        _cleaned(spark, sf_dir, cfg).select("doc_id", "tokens_clean"),
+        list_col="tokens_clean", out_col="text_clean")
+
+
+def _o_word_mode():
+    from hidden_characters_detector_spark import markers
+    e = osql.clean_expr(DUCKDB, "marked",
+                        excluded=markers.WORD_COMMON_CODEPOINTS)
+    return f"""
+    SELECT doc_id, {e} AS text_clean
+    FROM {osql.marked_docs_sql(DUCKDB)} m"""
+
+
+def q_token_stats(spark, sf_dir):
+    """Tokenize + token counting (text-analysis op over documents)."""
+    toks = tokenize(_marked(spark, sf_dir).select("doc_id", "marked"),
+                    text_col="marked")
+    return toks.select(
+        "doc_id", F.col("n_tok").cast("long").alias("n_tok"),
+        (F.size(F.filter(F.col("tokens"), lambda t: t == 0x20)) + 1)
+        .cast("long").alias("n_words"))
+
+
+def _o_token_stats():
+    sp = osql.count_expr(DUCKDB, "marked", "[ ]")
+    return f"""
+    SELECT doc_id, CAST(length(marked) AS BIGINT) AS n_tok,
+           CAST({sp} + 1 AS BIGINT) AS n_words
+    FROM {osql.marked_docs_sql(DUCKDB)} m"""
+
+
+# --- relational coverage (joins / aggs / windows / sort-limit) --------------
+def q_pricing_summary(spark, sf_dir):
+    """TPC-H Q1-style hash aggregate with decimal-exact sums."""
+    li = _table(spark, sf_dir, "lineitem")
+    return (li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+                 .cast("double").alias("sum_qty"),
+                 F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+                 .cast("double").alias("sum_base_price"),
+                 F.count("*").cast("long").alias("count_order")))
+
+
+def _o_pricing_summary():
+    return """
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_base_price,
+           CAST(count(*) AS BIGINT) AS count_order
+    FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus"""
+
+
+def q_order_customer_join(spark, sf_dir):
+    """Broadcast equi-join orders ⋈ customer + grouped agg."""
+    o = _table(spark, sf_dir, "orders")
+    c = _table(spark, sf_dir, "customer")
+    return (o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .groupBy("c_mktsegment")
+            .agg(F.count("*").cast("long").alias("n_orders"),
+                 F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                 .cast("double").alias("total_price")))
+
+
+def _o_order_customer_join():
+    return """
+    SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment"""
+
+
+def q_events_tumbling(spark, sf_dir):
+    """Tumbling 1-minute window aggregate over the events stream table."""
+    _utc(spark)
+    ev = _table(spark, sf_dir, "events")
+    w = F.window("ts", "1 minute")
+    return (ev.groupBy(w, "event_type")
+            .agg(F.count("*").cast("long").alias("n_events"),
+                 F.sum(F.col("value").cast("decimal(18,2)"))
+                 .cast("double").alias("total_value"))
+            .select(F.date_format("window.start", "yyyy-MM-dd HH:mm:ss")
+                    .alias("window_start"), "event_type", "n_events",
+                    "total_value"))
+
+
+def _o_events_tumbling():
+    return """
+    SELECT strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M:%S')
+               AS window_start,
+           event_type, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1, 2"""
+
+
+def q_events_sliding(spark, sf_dir):
+    """Sliding 10-minute window, 5-minute slide, per event_type."""
+    _utc(spark)
+    ev = _table(spark, sf_dir, "events")
+    w = F.window("ts", "10 minutes", "5 minutes")
+    return (ev.groupBy(w, "event_type")
+            .agg(F.count("*").cast("long").alias("n_events"))
+            .select(F.date_format("window.start", "yyyy-MM-dd HH:mm:ss")
+                    .alias("window_start"), "event_type", "n_events"))
+
+
+def _o_events_sliding():
+    # each event belongs to exactly two 10min/5min windows
+    return """
+    WITH b AS (
+      SELECT make_timestamp(CAST(floor(epoch(ts) / 300) * 300 AS BIGINT)
+                            * 1000000) AS w0,
+             event_type FROM events),
+    x AS (
+      SELECT w0 AS ws, event_type FROM b
+      UNION ALL
+      SELECT w0 - INTERVAL 5 MINUTE AS ws, event_type FROM b)
+    SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start, event_type,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM x GROUP BY 1, 2"""
+
+
+def q_events_session(spark, sf_dir):
+    """Session windows (5-minute gap) per user over the events table."""
+    _utc(spark)
+    ev = _table(spark, sf_dir, "events")
+    return (ev.groupBy(F.session_window("ts", "5 minutes"), "user_id")
+            .agg(F.count("*").cast("long").alias("n_events"))
+            .select("user_id",
+                    F.date_format("session_window.start",
+                                  "yyyy-MM-dd HH:mm:ss")
+                    .alias("session_start"), "n_events"))
+
+
+def _o_events_session():
+    return """
+    WITH o AS (
+      SELECT user_id, ts,
+             -- Spark session windows are half-open [ts, ts+gap): an event
+             -- exactly `gap` after the previous one starts a NEW session
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       >= INTERVAL 5 MINUTE OR
+                       lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events),
+    s AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM o)
+    SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM s GROUP BY user_id, session_id"""
+
+
+def q_top_sources(spark, sf_dir):
+    """Sort + limit: top-3 sources by marker density."""
+    agg = (_cleaned(spark, sf_dir).groupBy("source")
+           .agg(F.sum("n_detected").cast("long").alias("total_detected"),
+                F.count("*").cast("long").alias("n_docs")))
+    return agg.orderBy(F.desc("total_detected"), "source").limit(3)
+
+
+def _o_top_sources():
+    d = osql.detected_expr(DUCKDB, "marked")
+    return f"""
+    SELECT source, CAST(sum({d}) AS BIGINT) AS total_detected,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM {osql.marked_docs_sql(DUCKDB)} m
+    GROUP BY source ORDER BY total_detected DESC, source LIMIT 3"""
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "scan_stats": q_scan_stats,
+        "clean_text": q_clean_text,
+        "detect_counts": q_detect_counts,
+        "stats_by_source": q_stats_by_source,
+        "detect_events": q_detect_events,
+        "excluded_zwsp": q_excluded_zwsp,
+        "word_mode": q_word_mode,
+        "token_stats": q_token_stats,
+        "pricing_summary": q_pricing_summary,
+        "order_customer_join": q_order_customer_join,
+        "events_tumbling": q_events_tumbling,
+        "events_sliding": q_events_sliding,
+        "events_session": q_events_session,
+        "top_sources": q_top_sources,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "scan_stats": _o_scan_stats(),
+        "clean_text": _o_clean_text(),
+        "detect_counts": _o_detect_counts(),
+        "stats_by_source": _o_stats_by_source(),
+        "detect_events": _o_detect_events(),
+        "excluded_zwsp": _o_excluded_zwsp(),
+        "word_mode": _o_word_mode(),
+        "token_stats": _o_token_stats(),
+        "pricing_summary": _o_pricing_summary(),
+        "order_customer_join": _o_order_customer_join(),
+        "events_tumbling": _o_events_tumbling(),
+        "events_sliding": _o_events_sliding(),
+        "events_session": _o_events_session(),
+        "top_sources": _o_top_sources(),
+    }

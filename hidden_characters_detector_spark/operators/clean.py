@@ -1,0 +1,153 @@
+"""Spark operators: vectorized clean/detect over ``tokens: array<int>``.
+
+The reference's fused scan→classify→transform→aggregate pass
+(``/root/reference/hidden-characters-detector.py:648-779``) becomes a single
+``mapInArrow`` operator: each Arrow RecordBatch's ``tokens`` ListArray is
+processed as one flat numpy array (values + offsets, zero-copy from Arrow),
+so the Python side is pure whole-batch numpy — no per-row Python, per
+BASELINE.json ``input_hint``.
+
+Two operators:
+
+* :func:`clean_detect` — per-sequence output (FileProcessResult analog,
+  ref :534-542): passthrough cols + ``tokens_clean`` + counters.
+* :func:`detect_events` — detection-event rows (MarkerReport analog,
+  ref :524-532), emitted directly from the kernel masks with Arrow ``take``
+  fan-out; no intermediate nested lists, no ``explode`` shuffle.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pyarrow as pa
+
+from pyspark.sql import DataFrame
+
+from ..functions import kernel
+from ..functions.kernel import DetectorConfig, FULL_CLEAN
+
+_TOKEN_T = pa.int32()
+
+
+def _flat_tokens(col: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """ListArray -> (flat values int64, offsets int64), slice-safe."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    lengths = col.value_lengths().to_numpy(zero_copy_only=False)
+    offsets = np.concatenate([[0], np.cumsum(lengths, dtype=np.int64)])
+    values = col.flatten().to_numpy(zero_copy_only=False).astype(
+        np.int64, copy=False)
+    return values, offsets
+
+
+def _list_array(values: np.ndarray, offsets: np.ndarray) -> pa.ListArray:
+    return pa.ListArray.from_arrays(
+        pa.array(offsets, type=pa.int64()).cast(pa.int32())
+        if offsets[-1] < 2**31 else pa.array(offsets, type=pa.int64()),
+        pa.array(values, type=pa.int64()).cast(_TOKEN_T))
+
+
+CLEAN_OUTPUT_COLS = ("tokens_clean", "n_tok_clean", "n_detected",
+                     "n_processed", "had_marker")
+
+
+def clean_schema(df: DataFrame) -> str:
+    """Output DDL: input columns (tokens replaced by cleaned) + counters."""
+    keep = [f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+            if f.name != "tokens"]
+    return ", ".join(keep + [
+        "tokens_clean array<int>", "n_tok_clean int", "n_detected int",
+        "n_processed int", "had_marker boolean"])
+
+
+def clean_detect(df: DataFrame, cfg: DetectorConfig = FULL_CLEAN) -> DataFrame:
+    """Clean + per-sequence stats; Arrow-batched, passthrough other columns."""
+    passthrough = [f.name for f in df.schema.fields if f.name != "tokens"]
+
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            toks, offsets = _flat_tokens(batch.column("tokens"))
+            res = kernel.clean_flat(toks, offsets, cfg)
+            arrays = [batch.column(c) for c in passthrough]
+            arrays += [
+                _list_array(res.out_tokens, res.out_offsets),
+                pa.array(np.diff(res.out_offsets), type=pa.int32()),
+                pa.array(res.n_detected, type=pa.int32()),
+                pa.array(res.n_processed, type=pa.int32()),
+                pa.array(res.had_marker, type=pa.bool_()),
+            ]
+            yield pa.RecordBatch.from_arrays(
+                arrays, names=passthrough + list(CLEAN_OUTPUT_COLS))
+
+    return df.mapInArrow(run, clean_schema(df))
+
+
+EVENT_SCHEMA_SUFFIX = ("line_no int, idx int, token int, marker_type string, "
+                       "action string, replacement array<int>")
+
+
+def event_schema(df: DataFrame) -> str:
+    keep = [f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+            if f.name != "tokens"]
+    return ", ".join(keep + [EVENT_SCHEMA_SUFFIX])
+
+
+def detect_events(df: DataFrame, cfg: DetectorConfig = FULL_CLEAN) -> DataFrame:
+    """One output row per MarkerReport; passthrough columns fanned out.
+
+    Replacement column carries the applied replacement codepoints (empty for
+    removals, null when no replacement applied — mirrors ref :532 Optional).
+    """
+    passthrough = [f.name for f in df.schema.fields if f.name != "tokens"]
+    # code -> name lookup arrays, applied with vectorized Arrow `take`
+    type_lut = pa.array([None] + [kernel.TYPE_NAMES[i] for i in (1, 2, 3)],
+                        type=pa.string())
+    act_lut = pa.array(
+        [None] + [kernel.ACTION_NAMES[i] for i in (1, 2, 3, 4, 5)],
+        type=pa.string())
+    from .. import markers as mk
+
+    def _replacements(res) -> pa.ListArray:
+        """replacement col: [] for removals/BOM, codepoints for Replaced,
+        null for detect-only (mirrors ref :532 Optional)."""
+        acts, toks = res.ev_action, res.ev_token
+        replaced = acts == kernel.ACT_REPLACED
+        lens = np.where(replaced, kernel.REPL_LEN_LUT[toks], 0).astype(np.int64)
+        cum = np.concatenate([[0], np.cumsum(lens)])
+        flat = np.empty(int(cum[-1]), dtype=np.int64)
+        rp = np.nonzero(replaced)[0]
+        if rp.size:
+            starts = cum[rp]
+            ridx, rl = kernel.REPL_IDX_LUT[toks[rp]], lens[rp]
+            for k in range(mk.MAX_REPLACEMENT_LEN):
+                sel = rl > k
+                flat[starts[sel] + k] = kernel.REPL_FLAT[ridx[sel] + k]
+        is_null = acts == kernel.ACT_DETECTED
+        return pa.ListArray.from_arrays(
+            pa.array(cum, type=pa.int64()).cast(pa.int32()),
+            pa.array(flat, type=pa.int64()).cast(_TOKEN_T),
+            mask=pa.array(is_null))
+
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            toks, offsets = _flat_tokens(batch.column("tokens"))
+            res = kernel.clean_flat(toks, offsets, cfg, emit_events=True)
+            counts = np.diff(res.ev_offsets)
+            row_idx = np.repeat(np.arange(len(counts)), counts)
+            take = pa.array(row_idx, type=pa.int64())
+            arrays = [batch.column(c).take(take) for c in passthrough]
+            arrays += [
+                pa.array(res.ev_line_no, type=pa.int32()),
+                pa.array(res.ev_idx, type=pa.int32()),
+                pa.array(res.ev_token, type=pa.int32()),
+                type_lut.take(pa.array(res.ev_type.astype(np.int64))),
+                act_lut.take(pa.array(res.ev_action.astype(np.int64))),
+                _replacements(res),
+            ]
+            names = passthrough + ["line_no", "idx", "token", "marker_type",
+                                   "action", "replacement"]
+            yield pa.RecordBatch.from_arrays(arrays, names=names)
+
+    return df.mapInArrow(run, event_schema(df))
