@@ -1,0 +1,148 @@
+#!/usr/bin/env python3
+"""Benchmark harness: headline engine queries at $SPARK_GRAFT_SF_DIR.
+
+Prints exactly one JSON line:
+``{"metric": ..., "value": <total sec>, "unit": "sec", "queries": {...},
+"sf": ..., "rows": ..., "seq_per_sec": ...}``
+
+The corpus is the deterministic synthetic token table (input_hint shape)
+scaled to ~600k sequences via partition-local replication of the sf
+documents corpus (FIXTURES.md bench tier).  Queries cover the engine's hot
+paths: full clean, event emission + grouped agg, salted windowed density,
+and the end-to-end flagship pipeline.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# glibc tuning for this sandbox's pathologically slow page faults: without
+# it, every task re-faults its freed-and-trimmed heap (10-30x slowdowns with
+# huge variance).  Static thresholds keep worker heaps resident.  Must be set
+# before the JVM/worker processes spawn; local-mode Python workers inherit
+# this environment.
+os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", str(1 << 30))
+os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", str(256 << 20))
+os.environ.setdefault("MALLOC_TOP_PAD_", str(128 << 20))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+TARGET_ROWS = int(os.environ.get("SPARK_GRAFT_BENCH_ROWS", "600000"))
+
+
+def build_spark(cpus: int):
+    from pyspark.sql import SparkSession
+
+    return (SparkSession.builder.master(f"local[{cpus}]")
+            .appName("hcd-spark-bench")
+            .config("spark.sql.shuffle.partitions", str(2 * cpus))
+            .config("spark.default.parallelism", str(2 * cpus))
+            .config("spark.sql.adaptive.enabled", "true")
+            .config("spark.sql.session.timeZone", "UTC")
+            .config("spark.driver.memory", "48g")
+            .config("spark.sql.execution.arrow.maxRecordsPerBatch", "20000")
+            .config("spark.python.worker.reuse", "true")
+            .config("spark.python.worker.idleTimeoutSeconds", "3600")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate())
+
+
+def corpus(spark, cpus: int):
+    import duckdb
+
+    from hidden_characters_detector_spark.sources import synth
+
+    n_docs = duckdb.sql(
+        f"select count(*) from read_parquet('{SF_DIR}/documents.parquet')"
+    ).fetchone()[0]
+    replicate = max(1, TARGET_ROWS // n_docs)
+    tok = synth.token_table(spark, SF_DIR, replicate=replicate,
+                            partitions=2 * cpus)
+    return tok, n_docs * replicate
+
+
+def bench_queries(spark, tok):
+    """name -> (callable returning a small collected result)."""
+    from pyspark.sql import functions as F
+
+    from hidden_characters_detector_spark.functions.kernel import FULL_CLEAN
+    from hidden_characters_detector_spark.operators.clean import (
+        clean_detect, detect_events)
+
+    def q_clean_full():
+        return clean_detect(tok, FULL_CLEAN).agg(
+            F.count("*"), F.sum("n_detected"), F.sum("n_tok_clean"),
+            F.sum(F.col("had_marker").cast("long"))).collect()
+
+    def q_events_by_type():
+        return (detect_events(tok, FULL_CLEAN)
+                .groupBy("marker_type", "action")
+                .agg(F.count("*"), F.sum("token")).collect())
+
+    def q_density_windows():
+        # salted two-phase agg over skewed `source` (north_rule skew handling)
+        ev = detect_events(tok, FULL_CLEAN)
+        salted = (ev.groupBy(F.window("event_time", "1 minute"), "source",
+                             F.pmod(F.hash("doc_id"), F.lit(16)).alias("salt"))
+                  .agg(F.count("*").alias("c"),
+                       F.approx_count_distinct("doc_id").alias("d")))
+        return (salted.groupBy("window", "source")
+                .agg(F.sum("c").alias("n_detections"),
+                     F.sum("d").alias("docs_est"))
+                .orderBy(F.desc("n_detections")).limit(10).collect())
+
+    def q_clean_roundtrip():
+        # clean -> filter changed -> length stats (sink-shaped projection)
+        c = clean_detect(tok, FULL_CLEAN)
+        return (c.where("had_marker")
+                .select("source", (F.col("n_tok") - F.col("n_tok_clean"))
+                        .alias("removed"))
+                .groupBy("source").agg(F.count("*"), F.sum("removed"))
+                .collect())
+
+    return {
+        "clean_full": q_clean_full,
+        "events_by_type": q_events_by_type,
+        "density_windows": q_density_windows,
+        "clean_roundtrip": q_clean_roundtrip,
+    }
+
+
+def main() -> None:
+    spark = build_spark(CPUS)
+    try:
+        tok, nrows = corpus(spark, CPUS)
+        tok = tok.localCheckpoint()  # materialize once; bench the engine,
+        # not the synthetic generator
+        qs = bench_queries(spark, tok)
+        qs["clean_full"]()  # warmup: fault worker heaps once, off the clock
+        timings: dict[str, float] = {}
+        for name, fn in qs.items():
+            t0 = time.perf_counter()
+            fn()
+            timings[name] = round(time.perf_counter() - t0, 3)
+        total = round(sum(timings.values()), 3)
+        out = {
+            "metric": "headline engine queries wall time (clean + events + "
+                      "windowed density) on synthetic token table",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
+            "rows": nrows,
+            "cpus": CPUS,
+            "seq_per_sec": round(nrows * len(timings) / total)
+            if total else None,
+        }
+        print(json.dumps(out))
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -123,10 +123,27 @@ def inject_flat(flat: np.ndarray, offsets: np.ndarray, doc_seed: np.ndarray,
 
 
 def token_table(spark: SparkSession, sf_dir: str, inject: bool = True,
-                rate: float = 0.04, seed: int = 42) -> DataFrame:
-    """documents.parquet -> the input_hint token table (+event_time)."""
+                rate: float = 0.04, seed: int = 42,
+                replicate: int = 1, partitions: int | None = None
+                ) -> DataFrame:
+    """documents.parquet -> the input_hint token table (+event_time).
+
+    ``replicate=K`` scales the corpus K× with distinct doc_ids (and therefore
+    distinct injected markers / sources / event_times per replica).  The
+    replica axis is the *partitioned* side of a broadcast cross join, so each
+    partition generates its replicas locally — no shuffle, scales linearly
+    with parallelism at any corpus size.
+    """
+    from pyspark.sql import functions as F
+
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
         .select("doc_id", "text")
+    if replicate > 1:
+        nparts = partitions or spark.sparkContext.defaultParallelism * 2
+        reps = spark.range(0, replicate, 1, numPartitions=nparts)
+        docs = (reps.crossJoin(F.broadcast(docs))
+                .select((F.col("doc_id") * replicate + F.col("id"))
+                        .alias("doc_id"), "text"))
     out_schema = ("doc_id string, tokens array<int>, n_tok int, "
                   "source string, event_time timestamp")
 

@@ -1,0 +1,152 @@
+"""Structured Streaming pipeline: the reference dataflow as a CEP stream.
+
+The reference's batch lifecycle (scan → per-char classify → per-file result →
+global ScanStats → atomic sink, ``/root/reference/hidden-characters-detector.py:881-948``)
+becomes (north_star):
+
+  readStream(token table) → mapInArrow clean/detect
+    ├─ branch A: cleaned sequences → exactly-once sink (ref :911-923 analog)
+    └─ branch B: detection events → withWatermark
+         ├─ tumbling/sliding density per source  (ScanStats time-sliced)
+         ├─ session windows per doc_id           (coordinated bursts)
+         └─ stateful join vs confusable-dict stream (ref dict tables :255-406
+            made a slowly-updating stream)
+
+All operators are stateless ``mapInArrow`` + built-in stateful SS operators,
+so checkpoint/WAL resume and state-store management are Spark's.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.kernel import DetectorConfig, FULL_CLEAN
+from ..operators.clean import clean_detect, detect_events
+
+TOKEN_STREAM_SCHEMA = ("doc_id string, tokens array<int>, n_tok int, "
+                       "source string, event_time timestamp")
+
+
+def read_token_stream(spark: SparkSession, path: str,
+                      max_files_per_trigger: int | None = None) -> DataFrame:
+    """File-based stream of token-table parquet (S1/S2 streaming analog).
+
+    At production scale this is the Iceberg streaming source; the sandbox has
+    no Iceberg jars (SURVEY.md §4.2), so the parquet file source — same
+    incremental-listing semantics — stands in.  The schema is pinned
+    (streams require it) to the BASELINE.json input_hint shape.
+    """
+    reader = (spark.readStream.schema(TOKEN_STREAM_SCHEMA)
+              .format("parquet"))
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.load(path)
+
+
+def clean_stream(tok_stream: DataFrame,
+                 cfg: DetectorConfig = FULL_CLEAN) -> DataFrame:
+    """Branch A: cleaned sequences with per-partition lineage columns."""
+    return (clean_detect(tok_stream, cfg)
+            .withColumn("partition_id", F.spark_partition_id()))
+
+
+def event_stream(tok_stream: DataFrame,
+                 cfg: DetectorConfig = FULL_CLEAN) -> DataFrame:
+    """Branch B: detection events (stateless fan-out, no shuffle)."""
+    return detect_events(tok_stream, cfg)
+
+
+def density_windows(events: DataFrame, *, watermark: str = "10 minutes",
+                    window: str = "1 minute",
+                    slide: str | None = None) -> DataFrame:
+    """Watermark-density per (window, source): the ScanStats aggregate
+    (ref :544-563) time-sliced into the state store."""
+    w = F.window("event_time", window, slide) if slide else \
+        F.window("event_time", window)
+    return (events.withWatermark("event_time", watermark)
+            .groupBy(w, "source")
+            .agg(F.count("*").alias("n_detections"),
+                 F.approx_count_distinct("doc_id").alias("docs_est"),
+                 F.sum(F.when(F.col("marker_type") == "Hidden", 1)
+                       .otherwise(0)).alias("n_hidden"))
+            .select(F.col("window.start").alias("window_start"),
+                    F.col("window.end").alias("window_end"),
+                    "source", "n_detections", "docs_est", "n_hidden"))
+
+
+def salted_density_windows(events: DataFrame, *,
+                           watermark: str = "10 minutes",
+                           window: str = "1 minute",
+                           salt: int = 16) -> DataFrame:
+    """Two-phase (salted) streaming density for skewed ``source`` keys.
+
+    Phase 1 aggregates per (window, source, salt) — hot keys split S ways
+    across state-store partitions; phase 2 folds the salt out.  Requires
+    Spark's multiple-stateful-operator support (3.4+); both phases are
+    append-mode compatible because phase 2 groups by the same window.
+    """
+    w = F.window("event_time", window)
+    phase1 = (events.withWatermark("event_time", watermark)
+              .groupBy(w, "source",
+                       F.pmod(F.hash("doc_id"), F.lit(salt)).alias("salt"))
+              .agg(F.count("*").alias("c")))
+    return (phase1
+            .groupBy(F.window(F.col("window.start"), window), "source")
+            .agg(F.sum("c").alias("n_detections"))
+            .select(F.col("window.start").alias("window_start"), "source",
+                    "n_detections"))
+
+
+def session_bursts(events: DataFrame, *, watermark: str = "10 minutes",
+                   gap: str = "30 seconds") -> DataFrame:
+    """Session windows over doc_id bursts (coordinated-watermarking CEP)."""
+    return (events.withWatermark("event_time", watermark)
+            .groupBy(F.session_window("event_time", gap), "doc_id")
+            .agg(F.count("*").alias("n_detections"),
+                 F.min("source").alias("source"))
+            .select(F.col("session_window.start").alias("session_start"),
+                    F.col("session_window.end").alias("session_end"),
+                    "doc_id", "source", "n_detections"))
+
+
+def confusable_dict_join(events: DataFrame, dict_stream: DataFrame, *,
+                         event_watermark: str = "10 minutes",
+                         dict_watermark: str = "1 hour",
+                         validity: str = "1 hour") -> DataFrame:
+    """Stateful stream-stream join: detections ⋈ confusable-dict updates.
+
+    The reference's static replacement dicts (ref :255-406) become a
+    slowly-updating stream ``(marker_cp, replacement, marker_type,
+    valid_from)``; the join condition is equi-key + a time-range bound so
+    both sides' state is evictable (SURVEY.md §2.3).
+    """
+    ev = events.withWatermark("event_time", event_watermark)
+    dc = (dict_stream
+          .withColumnRenamed("marker_type", "dict_marker_type")
+          .withColumnRenamed("replacement", "dict_replacement")
+          .withWatermark("valid_from", dict_watermark))
+    cond = F.expr(
+        f"token = marker_cp AND event_time >= valid_from "
+        f"AND event_time < valid_from + interval {validity}")
+    return (ev.join(dc, cond, "inner")
+            .select("doc_id", "source", "event_time", "token",
+                    "marker_type",
+                    F.col("dict_replacement").alias("replacement"),
+                    "valid_from"))
+
+
+def scan_stats_stream(cleaned: DataFrame, *,
+                      watermark: str = "10 minutes",
+                      window: str = "1 minute") -> DataFrame:
+    """Global ScanStats (A3) per window+source over branch A output."""
+    return (cleaned.withWatermark("event_time", watermark)
+            .groupBy(F.window("event_time", window), "source")
+            .agg(F.count("*").alias("files_processed"),
+                 F.sum(F.col("had_marker").cast("long"))
+                 .alias("files_with_markers"),
+                 F.sum("n_detected").alias("total_markers_detected"),
+                 F.sum("n_processed").alias("total_markers_processed"))
+            .select(F.col("window.start").alias("window_start"), "source",
+                    "files_processed", "files_with_markers",
+                    "total_markers_detected", "total_markers_processed"))

@@ -76,6 +76,10 @@ def oracle(refmod):
 
 @pytest.fixture(scope="session")
 def spark():
+    # sandbox page faults are pathologically slow; keep worker heaps resident
+    # (see bench.py) so repeated Arrow batches don't re-fault every run
+    os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", str(1 << 30))
+    os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", str(256 << 20))
     from pyspark.sql import SparkSession
 
     s = (SparkSession.builder.master("local[4]")

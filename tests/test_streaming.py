@@ -1,0 +1,249 @@
+"""Structured Streaming semantics tests (SURVEY.md §5.2 item 2).
+
+Micro-streams over temp-dir parquet file sources, availableNow triggers:
+window contents, session merging, watermark late-drop, stream-stream dict
+join, and exactly-once checkpoint resume.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import time
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from hidden_characters_detector_spark.sinks.exactly_once import (
+    exactly_once_parquet_sink, read_sink)
+from hidden_characters_detector_spark.sources import confusable_dict
+from hidden_characters_detector_spark.streaming import pipeline
+from hidden_characters_detector_spark.streaming.metrics import (
+    ProgressRecorder)
+
+T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+ZWSP, QUOTE = 0x200B, 0x2018
+
+
+def _toks(text_tokens):
+    return [int(t) for t in text_tokens]
+
+
+def _row(doc, toks, source, ts):
+    return (doc, _toks(toks), len(toks), source, ts)
+
+
+def _write_file(spark, rows, path, mtime,
+                schema=pipeline.TOKEN_STREAM_SCHEMA):
+    """Write one stream-source *file* (the file source does not recurse into
+    non-partition subdirs, so the part-file is moved up to ``path``.parquet).
+    """
+    df = spark.createDataFrame(rows, schema).coalesce(1)
+    tmp = path + "__stage"
+    df.write.mode("overwrite").parquet(tmp)
+    part = next(f for f in os.listdir(tmp)
+                if f.endswith(".parquet") and not f.startswith("_"))
+    dest = path if path.endswith(".parquet") else path + ".parquet"
+    os.replace(os.path.join(tmp, part), dest)
+    os.utime(dest, (mtime, mtime))
+
+
+def _mins(m):
+    return T0 + dt.timedelta(minutes=m)
+
+
+A = ord("a")
+
+
+def test_density_window_late_drop(spark, tmp_path):
+    """Tumbling windows finalize at the watermark; late rows are dropped and
+    counted (north_rule watermark-driven late-data handling)."""
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    now = time.time()
+    # batch 1: two docs with one ZWSP each in window [0,1)
+    _write_file(spark, [
+        _row("d1", [A, ZWSP, A], "web", _mins(0)),
+        _row("d2", [A, ZWSP], "web", _mins(0.5)),
+    ], os.path.join(src, "f1"), now - 300)
+    # batch 2: advances watermark far past window 0 (wm = 30 - 10 = 20);
+    # batch 3 lets the new watermark take effect (Spark applies the watermark
+    # computed from batch N-1's data when filtering batch N)
+    _write_file(spark, [
+        _row("d3", [ZWSP, A], "web", _mins(30)),
+    ], os.path.join(src, "f2"), now - 200)
+    _write_file(spark, [
+        _row("d5", [ZWSP], "web", _mins(31)),
+    ], os.path.join(src, "f3"), now - 150)
+    # batch 4: a LATE row targeting window [0,1) — must be dropped
+    _write_file(spark, [
+        _row("d4", [ZWSP], "web", _mins(0.2)),
+    ], os.path.join(src, "f4"), now - 100)
+
+    rec = ProgressRecorder()
+    spark.streams.addListener(rec)
+    try:
+        tok = pipeline.read_token_stream(spark, src, max_files_per_trigger=1)
+        ev = pipeline.event_stream(tok)
+        dens = pipeline.density_windows(ev, watermark="10 minutes",
+                                        window="1 minute")
+        q = (dens.writeStream.format("memory").queryName("dens")
+             .outputMode("append")
+             .option("checkpointLocation", str(tmp_path / "ck"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        out = {(r["window_start"], r["source"]): r["n_detections"]
+               for r in spark.sql("select * from dens").collect()}
+        # window [0,1) finalized with exactly the 2 on-time detections
+        assert out.get((_mins(0), "web")) == 2
+        # window [30,31) not finalized (watermark never passed it)
+        assert (_mins(30), "web") not in out
+        deadline = time.time() + 30
+        while (rec.rows_dropped_by_watermark() == 0
+               and time.time() < deadline):
+            time.sleep(1)
+        assert rec.rows_dropped_by_watermark() >= 1
+    finally:
+        spark.streams.removeListener(rec)
+
+
+def test_session_bursts_merge_and_split(spark, tmp_path):
+    """30s-gap sessions: a burst merges, a distant event opens a new one."""
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    now = time.time()
+    burst = [
+        _row("dburst", [ZWSP], "web", T0 + dt.timedelta(seconds=s))
+        for s in (0, 10, 20)
+    ] + [_row("dburst", [ZWSP], "web", T0 + dt.timedelta(seconds=120))]
+    _write_file(spark, burst, os.path.join(src, "f1"), now - 300)
+    # watermark pusher
+    _write_file(spark, [_row("dlate", [ZWSP], "web", _mins(60))],
+                os.path.join(src, "f2"), now - 200)
+
+    tok = pipeline.read_token_stream(spark, src, max_files_per_trigger=1)
+    sess = pipeline.session_bursts(pipeline.event_stream(tok),
+                                   watermark="10 minutes", gap="30 seconds")
+    q = (sess.writeStream.format("memory").queryName("sess")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = [r for r in spark.sql("select * from sess").collect()
+            if r["doc_id"] == "dburst"]
+    assert len(rows) == 2  # merged burst + the distant single
+    by_start = sorted(rows, key=lambda r: r["session_start"])
+    assert by_start[0]["n_detections"] == 3
+    assert by_start[0]["session_start"] == T0
+    # session end = last event + gap (half-open)
+    assert by_start[0]["session_end"] == T0 + dt.timedelta(seconds=50)
+    assert by_start[1]["n_detections"] == 1
+
+
+def test_confusable_dict_join(spark, tmp_path):
+    """Stream-stream interval join matches events to in-validity rules."""
+    ev_src = str(tmp_path / "ev")
+    dc_src = str(tmp_path / "dict")
+    os.makedirs(ev_src)
+    now = time.time()
+    confusable_dict.write_dict_batches(spark, dc_src, T0, n_batches=3)
+    # staggered valid_from: QUOTE (0x2018 % 3 = 2) -> T0+10min,
+    # ZWSP (0x200B % 3 = 1) -> T0+5min.  Event at T0+12min matches both;
+    # an event 90min before any valid_from matches nothing.
+    _write_file(spark, [
+        _row("dj", [QUOTE, ZWSP, A], "web", _mins(12)),
+        _row("dearly", [QUOTE], "web", T0 - dt.timedelta(minutes=90)),
+    ], os.path.join(ev_src, "f1"), now - 300)
+    _write_file(spark, [_row("dpush", [A], "web", _mins(50))],
+                os.path.join(ev_src, "f2"), now - 200)
+
+    tok = pipeline.read_token_stream(spark, ev_src, max_files_per_trigger=1)
+    ev = pipeline.event_stream(tok)
+    dc = confusable_dict.read_dict_stream(spark, dc_src)
+    joined = pipeline.confusable_dict_join(ev, dc, validity="1 hour")
+    q = (joined.writeStream.format("memory").queryName("dj")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    rows = spark.sql("select * from dj").collect()
+    matched = {(r["doc_id"], r["token"]) for r in rows}
+    assert ("dj", QUOTE) in matched
+    assert ("dj", ZWSP) in matched
+    # event 90 min before the rule's valid_from never matches
+    assert not any(r["doc_id"] == "dearly" for r in rows)
+    # join carries the dictionary payload
+    qrow = [r for r in rows if r["doc_id"] == "dj" and r["token"] == QUOTE][0]
+    assert qrow["replacement"] == [ord("'")]
+
+
+def test_exactly_once_sink_and_resume(spark, tmp_path):
+    """Checkpoint resume adds only new data; re-runs don't duplicate
+    (the reference's atomic temp-file commit, ref :911-923, at stream scale).
+    """
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    os.makedirs(src)
+    now = time.time()
+    rows1 = [_row(f"a{i}", [A, ZWSP, A], "web", _mins(i)) for i in range(5)]
+    _write_file(spark, rows1, os.path.join(src, "f1"), now - 300)
+
+    tok = pipeline.read_token_stream(spark, src)
+    cleaned = pipeline.clean_stream(tok)
+    q = exactly_once_parquet_sink(cleaned, out, ck)
+    q.awaitTermination(120)
+    first = read_sink(spark, out).collect()
+    assert sorted(r["doc_id"] for r in first) == sorted(
+        r[0] for r in rows1)
+    assert all(r["tokens_clean"] == [A, A] for r in first)
+    assert {"batch_id", "sink_partition_id", "partition_id"} <= \
+        set(read_sink(spark, out).columns)
+
+    # restart with new file: only the new rows are appended
+    rows2 = [_row(f"b{i}", [ZWSP], "web", _mins(10 + i)) for i in range(3)]
+    _write_file(spark, rows2, os.path.join(src, "f2"), now - 100)
+    q2 = exactly_once_parquet_sink(pipeline.clean_stream(
+        pipeline.read_token_stream(spark, src)), out, ck)
+    q2.awaitTermination(120)
+    second = read_sink(spark, out).collect()
+    assert len(second) == 8
+    assert len({r["doc_id"] for r in second}) == 8
+
+    # idle restart: nothing new, no duplicates
+    q3 = exactly_once_parquet_sink(pipeline.clean_stream(
+        pipeline.read_token_stream(spark, src)), out, ck)
+    q3.awaitTermination(120)
+    assert len(read_sink(spark, out).collect()) == 8
+
+
+def test_salted_equals_plain_density(spark):
+    """Two-phase salted aggregate folds to the same totals (batch check)."""
+    rows = []
+    for i in range(200):
+        src = "web" if i % 4 else "books"
+        rows.append(_row(f"s{i}", [ZWSP, A, QUOTE], src,
+                         _mins(i % 3)))
+    df = spark.createDataFrame(rows, pipeline.TOKEN_STREAM_SCHEMA)
+    ev = pipeline.event_stream(df)
+    plain = {(r["window_start"], r["source"]): r["n_detections"]
+             for r in pipeline.density_windows(ev).collect()}
+    salted = {(r["window_start"], r["source"]): r["n_detections"]
+              for r in pipeline.salted_density_windows(ev).collect()}
+    assert plain == salted and len(plain) >= 3
+
+
+def test_scan_stats_stream_batch_equivalence(spark):
+    rows = [_row("x1", [A, ZWSP], "web", _mins(0)),
+            _row("x2", [A], "web", _mins(0.3)),
+            _row("x3", [QUOTE], "books", _mins(0.7))]
+    df = spark.createDataFrame(rows, pipeline.TOKEN_STREAM_SCHEMA)
+    got = {(r["window_start"], r["source"]):
+           (r["files_processed"], r["files_with_markers"],
+            r["total_markers_detected"], r["total_markers_processed"])
+           for r in pipeline.scan_stats_stream(
+               pipeline.clean_stream(df)).collect()}
+    assert got[(_mins(0), "web")] == (2, 1, 1, 1)
+    assert got[(_mins(0), "books")] == (1, 1, 1, 1)
