@@ -424,3 +424,229 @@ def oracle_sql() -> dict[str, str]:
         "events_session": _o_events_session(),
         "top_sources": _o_top_sources(),
     }
+
+
+# =========================================================================
+# training-data pipeline operators (dedup / similarity / text analysis)
+# =========================================================================
+def _mutated_docs(spark, sf_dir):
+    """documents ∪ near-duplicate mutations (deterministic): each doc gets a
+    sibling with the first 10 chars dropped — drives the near-dup ops."""
+    docs = _table(spark, sf_dir, "documents").select("doc_id", "text")
+    mut = docs.selectExpr("concat(doc_id, '000000') AS doc_id",
+                          "substr(text, 11) AS text")
+    return docs.selectExpr("cast(doc_id as string) AS doc_id", "text") \
+        .unionByName(mut)
+
+
+def q_exact_dedup(spark, sf_dir):
+    """Exact dedup: min-id keeper per content digest + group size."""
+    from hidden_characters_detector_spark.operators import dedup
+    docs = _table(spark, sf_dir, "documents").selectExpr(
+        "cast(doc_id as string) AS doc_id", "text")
+    # make real duplicate groups: each doc also appears under a clone id
+    both = docs.unionByName(
+        docs.selectExpr("concat(doc_id, '_clone') AS doc_id", "text"))
+    return dedup.exact_dedup(both)
+
+
+def _o_exact_dedup():
+    return """
+    WITH unioned AS (
+      SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id || '_clone' AS doc_id, text FROM documents),
+    h AS (
+      SELECT doc_id, md5(text) AS content_hash,
+             CAST(count(*) OVER (PARTITION BY md5(text)) AS BIGINT)
+                 AS group_size,
+             row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id)
+                 AS rk
+      FROM unioned)
+    SELECT doc_id, content_hash, group_size FROM h WHERE rk = 1"""
+
+
+def q_token_counts(spark, sf_dir):
+    """Token counting (whitespace + BPE-ish regex) over documents."""
+    from hidden_characters_detector_spark.operators import text_analysis
+    docs = _table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = text_analysis.token_counts(docs)
+    return out.select("doc_id", "n_chars_obs", "n_ws_tokens", "n_bpe_pieces")
+
+
+def _o_token_counts():
+    from hidden_characters_detector_spark.operators.text_analysis import (
+        BPE_REGEX)
+    return f"""
+    SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_obs,
+           CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+                AS BIGINT) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(text, {osql.q(BPE_REGEX)}))
+                AS BIGINT) AS n_bpe_pieces
+    FROM documents"""
+
+
+def q_quality(spark, sf_dir):
+    """Quality-score heuristics over documents."""
+    from hidden_characters_detector_spark.operators import text_analysis
+    docs = _table(spark, sf_dir, "documents").select("doc_id", "text")
+    return text_analysis.quality_scores(docs).select(
+        "doc_id", "punct_ratio", "digit_ratio", "upper_ratio",
+        "space_ratio", "quality_score")
+
+
+def _o_quality():
+    n = "length(text)"
+    punct = f"({n} - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))"
+    digits = f"({n} - length(regexp_replace(text, '[0-9]', '', 'g')))"
+    uppers = f"({n} - length(regexp_replace(text, '[A-Z]', '', 'g')))"
+    spaces = f"({n} - length(regexp_replace(text, '[ ]', '', 'g')))"
+
+    def ratio(x):
+        return f"round({x} / greatest(CAST({n} AS DOUBLE), 1.0), 6)"
+
+    score = (f"round(1.0"
+             f" * (CASE WHEN {n} BETWEEN 50 AND 10000 THEN 1.0 ELSE 0.5 END)"
+             f" * (CASE WHEN {ratio(punct)} <= 0.2 THEN 1.0 ELSE 0.6 END)"
+             f" * (CASE WHEN {ratio(digits)} <= 0.3 THEN 1.0 ELSE 0.7 END)"
+             f" * (CASE WHEN {ratio(spaces)} BETWEEN 0.05 AND 0.4"
+             f"      THEN 1.0 ELSE 0.8 END), 6)")
+    return f"""
+    SELECT doc_id, {ratio(punct)} AS punct_ratio,
+           {ratio(digits)} AS digit_ratio, {ratio(uppers)} AS upper_ratio,
+           {ratio(spaces)} AS space_ratio, {score} AS quality_score
+    FROM documents"""
+
+
+def q_lang_id(spark, sf_dir):
+    """Stopword-vote language ID over documents."""
+    from hidden_characters_detector_spark.operators import text_analysis
+    docs = _table(spark, sf_dir, "documents").select("doc_id", "text")
+    return text_analysis.language_id(docs).select("doc_id", "lang_pred")
+
+
+def _o_lang_id():
+    from hidden_characters_detector_spark.operators.text_analysis import (
+        LANG_STOPWORDS)
+    parts, case = [], []
+    for lang, words in LANG_STOPWORDS.items():
+        lst = ", ".join(osql.q(w) for w in words)
+        parts.append(
+            f"len(list_filter(regexp_split_to_array(lower(text), "
+            f"'[^a-zà-ÿ]+'), x -> x IN ({lst}))) AS sw_{lang}")
+    langs = list(LANG_STOPWORDS)
+    best = "greatest(" + ", ".join(f"sw_{la}" for la in langs) + ")"
+    case.append(f"CASE WHEN {best} <= 0 THEN 'und'")
+    for la in langs:
+        case.append(f"WHEN sw_{la} = {best} THEN '{la}'")
+    case.append("END AS lang_pred")
+    return f"""
+    WITH s AS (SELECT doc_id, {', '.join(parts)} FROM documents)
+    SELECT doc_id, {' '.join(case)} FROM s"""
+
+
+_ANN_QUERY_VEC = None
+
+
+def _ann_query_vec():
+    global _ANN_QUERY_VEC
+    if _ANN_QUERY_VEC is None:
+        import numpy as np
+        _ANN_QUERY_VEC = [
+            round(float(x), 6)
+            for x in np.random.default_rng(7).standard_normal(64)]
+    return _ANN_QUERY_VEC
+
+
+def q_ann_topk(spark, sf_dir):
+    """Brute-force cosine top-10 against a fixed query vector."""
+    from hidden_characters_detector_spark.operators import similarity
+    emb = _table(spark, sf_dir, "embeddings")
+    out = similarity.cosine_topk(emb, _ann_query_vec(), k=10)
+    return out.select("vec_id", F.round("cosine", 4).alias("cosine"))
+
+
+def _o_ann_topk():
+    vec = "[" + ", ".join(f"{x!r}" for x in _ann_query_vec()) + "]"
+    return f"""
+    WITH q AS (SELECT CAST({vec} AS DOUBLE[]) AS qv),
+    s AS (
+      SELECT vec_id,
+             list_dot_product(CAST(embedding AS DOUBLE[]), qv)
+             / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                      CAST(embedding AS DOUBLE[])))
+                * sqrt(list_dot_product(qv, qv))) AS cos
+      FROM embeddings, q)
+    SELECT vec_id, round(round(cos, 6), 4) AS cosine
+    FROM s ORDER BY round(cos, 6) DESC, vec_id LIMIT 10"""
+
+
+# --- rows-only checks (not ANSI-SQL-expressible: LSH/banding internals) -----
+def q_minhash_near_dups(spark, sf_dir):
+    """MinHash+LSH near-dup pairs over documents ∪ mutated siblings."""
+    from hidden_characters_detector_spark.operators import dedup
+    return dedup.minhash_lsh_pairs(_mutated_docs(spark, sf_dir),
+                                   jaccard_threshold=0.5)
+
+
+def q_simhash_near_dups(spark, sf_dir):
+    """SimHash near-dup pairs over documents ∪ mutated siblings."""
+    from hidden_characters_detector_spark.operators import dedup
+    return dedup.simhash_near_dups(_mutated_docs(spark, sf_dir),
+                                   max_hamming=3)
+
+
+def q_embedding_near_dups(spark, sf_dir):
+    """Embedding-cosine near-dup pairs within LSH buckets."""
+    from hidden_characters_detector_spark.operators import similarity
+    emb = _table(spark, sf_dir, "embeddings")
+    return similarity.pairwise_cosine_in_buckets(emb, nbits=8,
+                                                 min_cosine=0.5)
+
+
+def q_fingerprints(spark, sf_dir):
+    """xxhash64 content fingerprints (no DuckDB-compatible hash: rows-only).
+    """
+    from hidden_characters_detector_spark.operators import text_analysis
+    docs = _table(spark, sf_dir, "documents").select("doc_id", "text")
+    return text_analysis.fingerprints(docs)
+
+
+_EXTRA_QUERIES = {
+    "exact_dedup": q_exact_dedup,
+    "token_counts": q_token_counts,
+    "quality": q_quality,
+    "lang_id": q_lang_id,
+    "ann_topk": q_ann_topk,
+    "minhash_near_dups": q_minhash_near_dups,
+    "simhash_near_dups": q_simhash_near_dups,
+    "embedding_near_dups": q_embedding_near_dups,
+    "fingerprints": q_fingerprints,
+}
+
+_EXTRA_ORACLES = {
+    "exact_dedup": _o_exact_dedup,
+    "token_counts": _o_token_counts,
+    "quality": _o_quality,
+    "lang_id": _o_lang_id,
+    "ann_topk": _o_ann_topk,
+}
+
+_BASE_QUERIES = queries
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    out = dict(_BASE_QUERIES())
+    out.update(_EXTRA_QUERIES)
+    return out
+
+
+_BASE_ORACLES = oracle_sql
+
+
+def oracle_sql() -> dict[str, str]:  # noqa: F811
+    out = dict(_BASE_ORACLES())
+    for k, fn in _EXTRA_ORACLES.items():
+        out[k] = fn()
+    return out

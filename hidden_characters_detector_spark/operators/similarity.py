@@ -1,0 +1,128 @@
+"""Similarity search over embedding columns (``embeddings`` table).
+
+Brute-force cosine top-k as the correctness baseline, plus an LSH-bucketed
+(random hyperplane / sign-LSH) variant as the scale path: at 100 TB the
+brute-force path is a broadcast of the query vector and one scan (fine for
+one query), while all-pairs / batch-query search must pre-bucket vectors so
+candidates only meet within buckets — the same no-cross-join discipline as
+MinHash LSH.
+
+The dot products run JVM-side via higher-order functions (``aggregate`` /
+``zip_with``) so the scan stays in whole-stage codegen; the LSH bucketing is
+one vectorized Arrow pass.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Sequence
+
+import numpy as np
+import pyarrow as pa
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(col_a, col_b):
+    return F.aggregate(F.zip_with(col_a, col_b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _norm(col):
+    return F.sqrt(F.aggregate(F.transform(col, lambda x: x * x),
+                              F.lit(0.0), lambda acc, v: acc + v))
+
+
+def cosine_topk(df: DataFrame, query: Sequence[float], *,
+                vec_col: str = "embedding", id_col: str = "vec_id",
+                k: int = 10) -> DataFrame:
+    """Brute-force cosine top-k against one query vector (JVM-side math)."""
+    q = [float(x) for x in query]
+    qn = float(np.linalg.norm(q)) or 1.0
+    qcol = F.array(*[F.lit(x) for x in q])
+    cos = (_dot(F.col(vec_col), qcol)
+           / (_norm(F.col(vec_col)) * F.lit(qn)))
+    return (df.select(id_col, F.round(cos, 6).alias("cosine"))
+            .orderBy(F.desc("cosine"), id_col).limit(k))
+
+
+def hyperplane_buckets(df: DataFrame, *, vec_col: str = "embedding",
+                       nbits: int = 16, dim: int | None = None,
+                       seed: int = 42) -> DataFrame:
+    """Add ``bucket: int`` — sign-LSH bucket from nbits random hyperplanes.
+
+    Vectors whose angle is small agree on most signs; a batch-query search
+    probes only matching (or near-matching) buckets instead of the full
+    corpus.  One Arrow pass, one matmul per batch.
+    """
+    keep = [f.name for f in df.schema.fields]
+    ddl = ", ".join([f"{f.name} {f.dataType.simpleString()}"
+                     for f in df.schema.fields] + ["bucket int"])
+    rng = np.random.default_rng(seed)
+    planes: dict[int, np.ndarray] = {}
+
+    def get_planes(d: int) -> np.ndarray:
+        if d not in planes:
+            planes[d] = np.random.default_rng(seed).standard_normal(
+                (d, nbits))
+        return planes[d]
+
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            col = batch.column(vec_col)
+            lengths = col.value_lengths().to_numpy(zero_copy_only=False)
+            d = int(lengths[0]) if len(lengths) else (dim or 0)
+            flat = col.flatten().to_numpy(zero_copy_only=False).astype(
+                np.float64)
+            mat = flat.reshape(-1, d) if d else flat.reshape(0, 0)
+            signs = (mat @ get_planes(d)) > 0 if d else np.zeros((0, nbits))
+            bucket = (signs.astype(np.int64)
+                      << np.arange(nbits, dtype=np.int64)).sum(axis=1)
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(c) for c in keep]
+                + [pa.array(bucket, type=pa.int32())],
+                names=keep + ["bucket"])
+
+    return df.mapInArrow(run, ddl)
+
+
+def lsh_cosine_topk(df: DataFrame, query: Sequence[float], *,
+                    vec_col: str = "embedding", id_col: str = "vec_id",
+                    k: int = 10, nbits: int = 16, probe_hamming: int = 2,
+                    seed: int = 42) -> DataFrame:
+    """Bucketed ANN: score only vectors whose bucket is within
+    ``probe_hamming`` bits of the query's bucket, then exact cosine top-k.
+
+    Recall/scan-fraction tradeoff is (sum of C(nbits, i) for i<=probe)/2^nbits.
+    """
+    bucketed = hyperplane_buckets(df, vec_col=vec_col, nbits=nbits, seed=seed)
+    qv = np.asarray(list(query), dtype=np.float64)
+    planes = np.random.default_rng(seed).standard_normal((qv.size, nbits))
+    qbucket = int(((qv @ planes > 0).astype(np.int64)
+                   << np.arange(nbits, dtype=np.int64)).sum())
+    cand = bucketed.where(
+        F.bit_count(F.col("bucket").bitwiseXOR(F.lit(qbucket)))
+        <= probe_hamming)
+    return cosine_topk(cand, query, vec_col=vec_col, id_col=id_col, k=k)
+
+
+def pairwise_cosine_in_buckets(df: DataFrame, *, vec_col: str = "embedding",
+                               id_col: str = "vec_id", nbits: int = 12,
+                               min_cosine: float = 0.9,
+                               seed: int = 42) -> DataFrame:
+    """Embedding near-dup pairs: exact cosine, but only within LSH buckets
+    (the embedding-cosine near-dup dedup path)."""
+    b = hyperplane_buckets(df.select(id_col, vec_col), vec_col=vec_col,
+                           nbits=nbits, seed=seed)
+    l, r = b.alias("l"), b.alias("r")
+    pairs = (l.join(r, (F.col("l.bucket") == F.col("r.bucket"))
+                    & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
+             .select(F.col(f"l.{id_col}").alias("id_a"),
+                     F.col(f"r.{id_col}").alias("id_b"),
+                     F.col(f"l.{vec_col}").alias("va"),
+                     F.col(f"r.{vec_col}").alias("vb")))
+    cos = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va"))
+                                            * _norm(F.col("vb")))
+    return (pairs.withColumn("cosine", F.round(cos, 6))
+            .where(F.col("cosine") >= min_cosine)
+            .select("id_a", "id_b", "cosine"))

@@ -1,0 +1,113 @@
+"""Text-analysis operators for training-data pipelines.
+
+Language-ID (stopword/character heuristic), quality scoring (length /
+punctuation / stopword / repetition ratios), token counting (whitespace and
+BPE-ish regex), and rolling-hash document fingerprinting — all over the
+``documents`` table, all expressed with built-in Spark SQL functions so they
+stay inside whole-stage codegen (no Python in these paths at all).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# tiny per-language stopword seed lists (public common words)
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in", "is", "that", "for", "with"),
+    "de": ("der", "die", "und", "das", "ist", "nicht", "ein", "mit"),
+    "fr": ("le", "la", "et", "les", "des", "est", "pas", "pour"),
+    "es": ("el", "la", "de", "que", "y", "los", "es", "por"),
+}
+
+# BPE-ish pre-tokenizer: word pieces, numbers, single punctuation —
+# mirrors the common GPT-2-style regex shape with RE2-safe classes
+BPE_REGEX = r"[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\s]"
+
+
+def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace tokens + BPE-ish piece count + char count per doc."""
+    c = F.col(text_col)
+    ws = F.size(F.split(F.trim(c), r"\s+"))
+    bpe = F.size(F.regexp_extract_all(c, F.lit(BPE_REGEX), F.lit(0)))
+    return df.withColumn("n_chars_obs", F.length(c).cast("long")) \
+             .withColumn("n_ws_tokens",
+                         F.when(F.length(F.trim(c)) == 0, F.lit(0))
+                         .otherwise(ws).cast("long")) \
+             .withColumn("n_bpe_pieces", bpe.cast("long"))
+
+
+def _ratio(num, den):
+    return F.round(num / F.greatest(den.cast("double"), F.lit(1.0)), 6)
+
+
+def quality_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic quality columns: punct/digit/upper/space ratios, mean word
+    length, max single-char run (repetition), and a composite [0,1] score."""
+    c = F.col(text_col)
+    n = F.length(c)
+    punct = n - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
+    digits = n - F.length(F.regexp_replace(c, r"[0-9]", ""))
+    uppers = n - F.length(F.regexp_replace(c, r"[A-Z]", ""))
+    spaces = n - F.length(F.regexp_replace(c, r"[ ]", ""))
+    words = F.split(F.trim(c), r"\s+")
+    mean_wl = _ratio(n - spaces, F.size(words))
+    max_run = F.length(F.regexp_extract(c, r"((.)\2*)", 1))
+    score = F.round(
+        F.lit(1.0)
+        * F.when((n >= 50) & (n <= 10000), 1.0).otherwise(0.5)
+        * F.when(_ratio(punct, n) <= 0.2, 1.0).otherwise(0.6)
+        * F.when(_ratio(digits, n) <= 0.3, 1.0).otherwise(0.7)
+        * F.when(_ratio(spaces, n).between(0.05, 0.4), 1.0).otherwise(0.8),
+        6)
+    return (df
+            .withColumn("punct_ratio", _ratio(punct, n))
+            .withColumn("digit_ratio", _ratio(digits, n))
+            .withColumn("upper_ratio", _ratio(uppers, n))
+            .withColumn("space_ratio", _ratio(spaces, n))
+            .withColumn("mean_word_len", mean_wl)
+            .withColumn("quality_score", score))
+
+
+def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-vote language ID: per language, count stopword hits among
+    the doc's words; argmax wins ('und' = undetermined when all zero)."""
+    c = F.col(text_col)
+    words = F.split(F.lower(c), r"[^a-zà-ÿ]+")
+    scores = [
+        F.size(F.filter(words, lambda w: w.isin(  # noqa: B023
+            *LANG_STOPWORDS[lang]))).alias(f"sw_{lang}")
+        for lang in LANG_STOPWORDS
+    ]
+    langs = list(LANG_STOPWORDS)
+    out = df.select("*", *scores)
+    best = F.greatest(*[F.col(f"sw_{lang}") for lang in langs])
+    pred = F.when(best <= 0, F.lit("und"))
+    for lang in langs:
+        pred = pred.when(F.col(f"sw_{lang}") == best, F.lit(lang))
+    return out.withColumn("lang_pred", pred).drop(
+        *[f"sw_{lang}" for lang in langs])
+
+
+def fingerprints(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Stable 64-bit-ish content fingerprints, JVM-side:
+
+    * ``fp_xxh64`` — whole-content xxhash64;
+    * ``fp_prefix`` / ``fp_suffix`` — boundary-region hashes (cheap
+      near-boilerplate grouping);
+    * ``fp_shingle_min`` — min over hashes of every 32-char window (stride
+      1, winnowing-style), a 1-perm minhash: robust to insertions/edits
+      anywhere outside the minimal window.
+    """
+    c = F.col(text_col)
+    window_hashes = F.transform(
+        F.sequence(F.lit(0), F.greatest(
+            F.length(c) - 32, F.lit(0)).cast("int")),
+        lambda i: F.xxhash64(F.substring(c, (i + 1).cast("int"), 32)))
+    return (df.select(
+        id_col,
+        F.xxhash64(c).alias("fp_xxh64"),
+        F.xxhash64(F.substring(c, 1, 64)).alias("fp_prefix"),
+        F.xxhash64(F.substring(c, -64, 64)).alias("fp_suffix"),
+        F.array_min(window_hashes).alias("fp_shingle_min")))

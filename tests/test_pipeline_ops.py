@@ -1,0 +1,185 @@
+"""Training-data pipeline operators: dedup, similarity, text analysis,
+multimodal plumbing."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from hidden_characters_detector_spark.operators import (
+    dedup, multimodal, similarity, text_analysis)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = [
+        ("a1", "the quick brown fox jumps over the lazy dog again and again"),
+        ("a2", "the quick brown fox jumps over the lazy dog again and again"),
+        ("a3", "the quick brown fox jumped over the lazy dog again and again"),
+        ("b1", "completely different content about spark engines and arrow"),
+        ("b2", "der schnelle braune fuchs springt und ist nicht mit der"),
+        ("c1", "le chat est sur la table et les livres sont pour le prof"),
+        ("d1", "el gato es de la casa y los perros son por el parque"),
+        ("e1", "zzzzzzzzzzzz 1234567890 !!!???!!! @#$%^&*"),
+    ]
+    return spark.createDataFrame(base, "doc_id string, text string")
+
+
+def test_exact_dedup(spark, docs):
+    out = {r["doc_id"]: r for r in dedup.exact_dedup(docs).collect()}
+    assert "a1" in out and "a2" not in out          # min-id kept
+    assert out["a1"]["group_size"] == 2
+    assert out["a3"]["group_size"] == 1
+    assert len(out) == 7                            # 8 docs, 1 exact dup
+
+
+def test_minhash_lsh_finds_near_dup(spark, docs):
+    pairs = dedup.minhash_lsh_pairs(docs, jaccard_threshold=0.5)
+    got = {(r["doc_a"], r["doc_b"]): r["est_jaccard"]
+           for r in pairs.collect()}
+    assert ("a1", "a2") in got and got[("a1", "a2")] == 1.0
+    assert ("a1", "a3") in got                      # 1-word edit near-dup
+    assert not any("b1" in p for p in got)          # unrelated not paired
+    # verification path: true jaccard for candidates
+    with_texts = (pairs
+                  .join(docs.withColumnRenamed("doc_id", "doc_a")
+                        .withColumnRenamed("text", "text_a"), "doc_a")
+                  .join(docs.withColumnRenamed("doc_id", "doc_b")
+                        .withColumnRenamed("text", "text_b"), "doc_b"))
+    verified = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+                for r in dedup.ngram_jaccard(with_texts).collect()}
+    assert verified[("a1", "a2")] == 1.0
+    assert 0.5 < verified[("a1", "a3")] < 1.0
+
+
+def test_simhash_near_dups(spark, docs):
+    fps = {r["doc_id"]: r["simhash"] for r in
+           dedup.simhash_fingerprints(docs).collect()}
+    assert fps["a1"] == fps["a2"]                   # identical text
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"]
+             for r in dedup.simhash_near_dups(docs, max_hamming=8).collect()}
+    assert pairs[("a1", "a2")] == 0
+    assert ("a1", "a3") in pairs
+
+
+def test_cosine_topk_matches_numpy(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    rows = emb.limit(200).collect()
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    ids = np.array([r["vec_id"] for r in rows])
+    q = mat[0]
+    cos = (mat @ q) / (np.linalg.norm(mat, axis=1) * np.linalg.norm(q))
+    order = np.lexsort((ids, -np.round(cos, 6)))[:5]
+    expected = [int(ids[i]) for i in order]
+    got = [r["vec_id"] for r in similarity.cosine_topk(
+        spark.createDataFrame(rows), q.tolist(), k=5).collect()]
+    assert got == expected
+    # the query vector itself is rank 1 with cosine 1.0
+    top = similarity.cosine_topk(spark.createDataFrame(rows),
+                                 q.tolist(), k=1).collect()[0]
+    assert top["vec_id"] == int(ids[0]) and abs(top["cosine"] - 1.0) < 1e-6
+
+
+def test_lsh_topk_recalls_exact_neighbors(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").limit(300)
+    emb = emb.cache()
+    q = emb.limit(1).collect()[0]["embedding"]
+    exact = [r["vec_id"] for r in
+             similarity.cosine_topk(emb, q, k=5).collect()]
+    approx = [r["vec_id"] for r in
+              similarity.lsh_cosine_topk(emb, q, k=5, nbits=12,
+                                         probe_hamming=4).collect()]
+    # the query vector itself must always be recalled; decent overlap
+    assert exact[0] == approx[0]
+    assert len(set(exact) & set(approx)) >= 3
+
+
+def test_bucketed_pairwise_cosine(spark, docs):
+    rows = [(i, [float(i % 3 == 0), 1.0, float(i) / 10, 0.5])
+            for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = similarity.pairwise_cosine_in_buckets(
+        df, nbits=4, min_cosine=0.99).collect()
+    for r in pairs:
+        assert r["cosine"] >= 0.99
+        assert r["id_a"] < r["id_b"]
+
+
+def test_token_counts(spark, docs):
+    out = {r["doc_id"]: r for r in
+           text_analysis.token_counts(docs).collect()}
+    a1 = out["a1"]
+    assert a1["n_ws_tokens"] == 12
+    assert a1["n_chars_obs"] == len(
+        "the quick brown fox jumps over the lazy dog again and again")
+    assert out["e1"]["n_bpe_pieces"] > 10  # punctuation split into pieces
+
+
+def test_quality_scores(spark, docs):
+    out = {r["doc_id"]: r for r in
+           text_analysis.quality_scores(docs).collect()}
+    assert out["a1"]["quality_score"] > out["e1"]["quality_score"]
+    assert out["e1"]["digit_ratio"] > 0.2
+    assert 0 <= out["a1"]["punct_ratio"] < 0.05
+
+
+def test_language_id(spark, docs):
+    out = {r["doc_id"]: r["lang_pred"] for r in
+           text_analysis.language_id(docs).collect()}
+    assert out["a1"] == "en"
+    assert out["b2"] == "de"
+    assert out["c1"] == "fr"
+    assert out["d1"] == "es"
+    assert out["e1"] == "und"
+
+
+def test_fingerprints(spark, docs):
+    out = {r["doc_id"]: r for r in
+           text_analysis.fingerprints(docs).collect()}
+    assert out["a1"]["fp_xxh64"] == out["a2"]["fp_xxh64"]
+    assert out["a1"]["fp_xxh64"] != out["a3"]["fp_xxh64"]
+    # shingle-min (stride-1 windows) survives an edit near the end of a
+    # long doc: the minimal window almost surely lies in the shared prefix
+    base = ("spark arrow parquet shuffle broadcast catalyst tungsten "
+            "codegen watermark checkpoint exactly once idempotent sink "
+            "session window tumbling sliding density skew salt partition "
+            "lineage metrics kernel vectorized numpy flat offsets batch ")
+    long_docs = spark.createDataFrame(
+        [("x1", base + "ending one"), ("x2", base + "ending two"),
+         ("y1", "tiny")],
+        "doc_id string, text string")
+    fp = {r["doc_id"]: r for r in
+          text_analysis.fingerprints(long_docs).collect()}
+    assert fp["x1"]["fp_shingle_min"] == fp["x2"]["fp_shingle_min"]
+    assert fp["x1"]["fp_prefix"] == fp["x2"]["fp_prefix"]
+    assert fp["x1"]["fp_xxh64"] != fp["x2"]["fp_xxh64"]
+    assert fp["y1"]["fp_shingle_min"] is not None  # shorter than a window
+
+
+def test_multimodal_plumbing(spark, docs):
+    media = multimodal.attach_fake_media(docs)
+    assert dict(media.dtypes)["media"] == "binary"
+    feat = multimodal.decode_images(media, deterministic_fake=True)
+    rows = {r["doc_id"]: r["img_features"] for r in feat.collect()}
+    assert all(len(v) == 8 for v in rows.values())
+    # deterministic across partitionings
+    rows2 = {r["doc_id"]: r["img_features"] for r in
+             multimodal.decode_images(media.repartition(5),
+                                      deterministic_fake=True).collect()}
+    assert rows == rows2
+    # stub path raises without the fake flag
+    with pytest.raises(Exception, match="NotImplementedError|codec"):
+        multimodal.decode_images(media).collect()
+    # frame sampling plan is real
+    frames = multimodal.sample_frames(media, every_n=24)
+    n = frames.groupBy("doc_id").count().collect()
+    meta = {r["doc_id"]: r["media_meta"]["n_frames"]
+            for r in media.collect()}
+    for r in n:
+        assert r["count"] == (meta[r["doc_id"]] - 1) // 24 + 1
+    audio = multimodal.resample_audio(media, deterministic_fake=True)
+    assert dict(audio.dtypes)["audio_features"] == "array<float>"
