@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 from hidden_characters_detector_spark.functions.kernel import (
     DetectorConfig, FULL_CLEAN)
 from hidden_characters_detector_spark.operators.clean import (
-    clean_detect, detect_events)
+    clean_detect, clean_documents, detect_events, document_events)
 from hidden_characters_detector_spark.operators.text_ops import (
     detokenize, tokenize)
 from hidden_characters_detector_spark.plans import oracle as osql
@@ -52,9 +52,13 @@ def _marked(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _cleaned(spark: SparkSession, sf_dir: str,
-             cfg: DetectorConfig = FULL_CLEAN) -> DataFrame:
-    toks = tokenize(_marked(spark, sf_dir), text_col="marked")
-    return clean_detect(toks, cfg)
+             cfg: DetectorConfig = FULL_CLEAN, *, keep=None,
+             emit_text: bool = False) -> DataFrame:
+    """Fused single-Arrow-pass clean over the injected corpus; pass ``keep``
+    to prune passthrough columns (mapInArrow blocks Catalyst pruning, so
+    pruning must happen at the operator boundary)."""
+    return clean_documents(_marked(spark, sf_dir), text_col="marked",
+                           cfg=cfg, keep=keep, emit_text=emit_text)
 
 
 # =========================================================================
@@ -77,7 +81,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # =========================================================================
 def q_scan_stats(spark, sf_dir):
     """A3 global ScanStats fold (ref :544-563, :881-899)."""
-    return _cleaned(spark, sf_dir).agg(
+    return _cleaned(spark, sf_dir, keep=[]).agg(
         F.count("*").cast("long").alias("files_processed"),
         F.sum(F.col("had_marker").cast("long")).alias("files_with_markers"),
         F.sum("n_detected").cast("long").alias("total_markers_detected"),
@@ -98,10 +102,9 @@ def _o_scan_stats():
 
 
 def q_clean_text(spark, sf_dir):
-    """P1-P6 full fused clean; output is the detokenized cleaned string."""
-    return detokenize(
-        _cleaned(spark, sf_dir).select("doc_id", "tokens_clean"),
-        list_col="tokens_clean", out_col="text_clean")
+    """P1-P6 full fused clean: text -> kernel -> cleaned text, one pass."""
+    return _cleaned(spark, sf_dir, keep=["doc_id"], emit_text=True) \
+        .select("doc_id", "text_clean")
 
 
 def _o_clean_text():
@@ -111,25 +114,14 @@ def _o_clean_text():
 
 
 def q_detect_counts(spark, sf_dir):
-    """Per-doc per-family detection counts (P3/P4/P5 membership)."""
-    toks = tokenize(_marked(spark, sf_dir).select("doc_id", "marked"),
-                    text_col="marked")
-    ev = detect_events(toks, FULL_CLEAN)
-    fam = (ev.groupBy("doc_id").agg(
-        F.count("*").cast("long").alias("n_detected"),
-        F.sum((F.col("marker_type") == "Hidden").cast("long"))
-        .alias("n_hidden"),
-        F.sum((F.col("marker_type") == "IdeographicVS").cast("long"))
-        .alias("n_ivs"),
-        F.sum((F.col("marker_type") == "Typographic").cast("long"))
-        .alias("n_typo")))
-    docs = _marked(spark, sf_dir).select("doc_id")
-    return (docs.join(fam, "doc_id", "left")
-            .select("doc_id",
-                    F.coalesce("n_detected", F.lit(0)).alias("n_detected"),
-                    F.coalesce("n_hidden", F.lit(0)).alias("n_hidden"),
-                    F.coalesce("n_ivs", F.lit(0)).alias("n_ivs"),
-                    F.coalesce("n_typo", F.lit(0)).alias("n_typo")))
+    """Per-doc per-family detection counts (P3/P4/P5 membership), emitted
+    map-side by the fused kernel pass — no event fan-out, no join."""
+    out = _cleaned(spark, sf_dir, keep=["doc_id"])
+    return out.select(
+        "doc_id", F.col("n_detected").cast("long").alias("n_detected"),
+        F.col("n_hidden").cast("long").alias("n_hidden"),
+        F.col("n_ivs").cast("long").alias("n_ivs"),
+        F.col("n_typo").cast("long").alias("n_typo"))
 
 
 def _o_detect_counts():
@@ -145,7 +137,7 @@ def _o_detect_counts():
 
 def q_stats_by_source(spark, sf_dir):
     """A3 grouped by source — the skew-prone keyed aggregate."""
-    return (_cleaned(spark, sf_dir).groupBy("source").agg(
+    return (_cleaned(spark, sf_dir, keep=["source"]).groupBy("source").agg(
         F.count("*").cast("long").alias("n_docs"),
         F.sum(F.col("had_marker").cast("long")).alias("docs_with_markers"),
         F.sum("n_detected").cast("long").alias("total_detected")))
@@ -163,9 +155,8 @@ def _o_stats_by_source():
 
 def q_detect_events(spark, sf_dir):
     """P6 event emission: one row per MarkerReport (clean mode)."""
-    toks = tokenize(_marked(spark, sf_dir).select("doc_id", "marked"),
-                    text_col="marked")
-    return detect_events(toks, FULL_CLEAN).select(
+    return document_events(_marked(spark, sf_dir), text_col="marked",
+                           keep=["doc_id"]).select(
         "doc_id", F.col("idx").cast("long").alias("idx"),
         F.col("token").cast("long").alias("token"), "marker_type")
 
@@ -196,9 +187,8 @@ def _o_detect_events():
 def q_excluded_zwsp(spark, sf_dir):
     """P1 user-excluded-char filter: ZWSP passes through untouched."""
     cfg = DetectorConfig(excluded=frozenset({0x200B}))
-    return detokenize(
-        _cleaned(spark, sf_dir, cfg).select("doc_id", "tokens_clean"),
-        list_col="tokens_clean", out_col="text_clean")
+    return _cleaned(spark, sf_dir, cfg, keep=["doc_id"], emit_text=True) \
+        .select("doc_id", "text_clean")
 
 
 def _o_excluded_zwsp():
@@ -211,9 +201,8 @@ def _o_excluded_zwsp():
 def q_word_mode(spark, sf_dir):
     """P1 --word: Word-common chars merged into the excluded set."""
     cfg = DetectorConfig(exclude_word_chars=True)
-    return detokenize(
-        _cleaned(spark, sf_dir, cfg).select("doc_id", "tokens_clean"),
-        list_col="tokens_clean", out_col="text_clean")
+    return _cleaned(spark, sf_dir, cfg, keep=["doc_id"], emit_text=True) \
+        .select("doc_id", "text_clean")
 
 
 def _o_word_mode():
@@ -373,7 +362,7 @@ def _o_events_session():
 
 def q_top_sources(spark, sf_dir):
     """Sort + limit: top-3 sources by marker density."""
-    agg = (_cleaned(spark, sf_dir).groupBy("source")
+    agg = (_cleaned(spark, sf_dir, keep=["source"]).groupBy("source")
            .agg(F.sum("n_detected").cast("long").alias("total_detected"),
                 F.count("*").cast("long").alias("n_docs")))
     return agg.orderBy(F.desc("total_detected"), "source").limit(3)
@@ -650,3 +639,68 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
     for k, fn in _EXTRA_ORACLES.items():
         out[k] = fn()
     return out
+
+
+# =========================================================================
+# remaining SURVEY §2 coverage: A5 status flag, A1 per-line grouping
+# =========================================================================
+def q_markers_found(spark, sf_dir):
+    """A5 status flag (ref :943-948, --fail exit code): corpus-level
+    markers-found boolean + counts."""
+    agg = _cleaned(spark, sf_dir, keep=[]).agg(
+        F.sum(F.col("had_marker").cast("long")).alias("files_with_markers"),
+        F.count("*").cast("long").alias("files_processed"))
+    return agg.select(
+        (F.col("files_with_markers") > 0).alias("markers_found"),
+        "files_with_markers", "files_processed")
+
+
+def _o_markers_found():
+    d = osql.detected_expr(DUCKDB, "marked")
+    return f"""
+    WITH s AS (
+      SELECT CAST(sum(CASE WHEN {d} > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS files_with_markers,
+             CAST(count(*) AS BIGINT) AS files_processed
+      FROM {osql.marked_docs_sql(DUCKDB)} m)
+    SELECT files_with_markers > 0 AS markers_found, files_with_markers,
+           files_processed FROM s"""
+
+
+def _multiline_marked(spark, sf_dir):
+    """documents with markers AND newlines injected (portable SQL), so the
+    per-line machinery (A1 grouping, line_no/idx semantics) is exercised."""
+    ml = (f"replace({osql.marked_expr()}, ' the ', ' the' || char(10))")
+    return _table(spark, sf_dir, "documents").selectExpr(
+        "doc_id", f"{ml} AS marked")
+
+
+def q_line_reports(spark, sf_dir):
+    """A1 per-line report grouping (ref :739-746): reports per (doc, line)
+    over multiline documents."""
+    ev = document_events(_multiline_marked(spark, sf_dir),
+                         text_col="marked", keep=["doc_id"])
+    return (ev.groupBy("doc_id", "line_no")
+            .agg(F.count("*").cast("long").alias("n_reports"))
+            .select("doc_id", F.col("line_no").cast("long").alias("line_no"),
+                    "n_reports"))
+
+
+def _o_line_reports():
+    d = osql.detected_expr(DUCKDB, "u.line")
+    ml = f"replace({osql.marked_expr()}, ' the ', ' the' || chr(10))"
+    return f"""
+    WITH m AS (SELECT doc_id, string_split({ml}, chr(10)) AS ls
+               FROM documents),
+    lines AS (
+      SELECT doc_id, ls[CAST(t.i AS INTEGER)] AS line, t.i AS ln
+      FROM m, unnest(range(1, len(ls) + 1)) AS t(i))
+    SELECT doc_id, CAST(ln AS BIGINT) AS line_no,
+           CAST({d} AS BIGINT) AS n_reports
+    FROM lines u WHERE {d} > 0"""
+
+
+_EXTRA_QUERIES["markers_found"] = q_markers_found
+_EXTRA_QUERIES["line_reports"] = q_line_reports
+_EXTRA_ORACLES["markers_found"] = _o_markers_found
+_EXTRA_ORACLES["line_reports"] = _o_line_reports

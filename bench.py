@@ -29,6 +29,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", str(1 << 30))
 os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", str(256 << 20))
 os.environ.setdefault("MALLOC_TOP_PAD_", str(128 << 20))
+os.environ.setdefault("ARROW_DEFAULT_MEMORY_POOL", "system")
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -44,7 +45,7 @@ def build_spark(cpus: int):
             .config("spark.default.parallelism", str(2 * cpus))
             .config("spark.sql.adaptive.enabled", "true")
             .config("spark.sql.session.timeZone", "UTC")
-            .config("spark.driver.memory", "48g")
+            .config("spark.driver.memory", "12g")
             .config("spark.sql.execution.arrow.maxRecordsPerBatch", "20000")
             .config("spark.python.worker.reuse", "true")
             .config("spark.python.worker.idleTimeoutSeconds", "3600")
@@ -85,12 +86,14 @@ def bench_queries(spark, tok):
                 .agg(F.count("*"), F.sum("token")).collect())
 
     def q_density_windows():
-        # salted two-phase agg over skewed `source` (north_rule skew handling)
-        ev = detect_events(tok, FULL_CLEAN)
-        salted = (ev.groupBy(F.window("event_time", "1 minute"), "source",
-                             F.pmod(F.hash("doc_id"), F.lit(16)).alias("salt"))
-                  .agg(F.count("*").alias("c"),
-                       F.approx_count_distinct("doc_id").alias("d")))
+        # salted two-phase agg over skewed `source` (north_rule skew
+        # handling), pre-aggregated map-side from per-sequence counters
+        cleaned = clean_detect(tok, FULL_CLEAN)
+        salted = (cleaned.groupBy(
+            F.window("event_time", "1 minute"), "source",
+            F.pmod(F.hash("doc_id"), F.lit(16)).alias("salt"))
+            .agg(F.sum("n_detected").alias("c"),
+                 F.approx_count_distinct("doc_id").alias("d")))
         return (salted.groupBy("window", "source")
                 .agg(F.sum("c").alias("n_detections"),
                      F.sum("d").alias("docs_est"))

@@ -98,6 +98,11 @@ class KernelResult:
     n_detected: np.ndarray      # per-row report count (ref `detected`)
     n_processed: np.ndarray     # per-row changed-line report count (`processed`)
     had_marker: np.ndarray      # per-row bool (ref `had_marker_or_change`)
+    # per-row per-family report counts (map-side pre-aggregation: lets
+    # density windows aggregate sequences instead of exploded events)
+    n_hidden: np.ndarray = field(default=None)
+    n_ivs: np.ndarray = field(default=None)
+    n_typo: np.ndarray = field(default=None)
     # detection events, flat, grouped by row via ev_offsets
     ev_offsets: np.ndarray = field(default=None)
     ev_line_no: np.ndarray = field(default=None)
@@ -147,6 +152,7 @@ def clean_flat(toks: np.ndarray, offsets: np.ndarray,
         z = np.zeros(nrows, dtype=np.int64)
         return KernelResult(
             toks, offsets, z.copy(), z.copy(), np.zeros(nrows, dtype=bool),
+            n_hidden=z.copy(), n_ivs=z.copy(), n_typo=z.copy(),
             ev_offsets=np.zeros(nrows + 1, dtype=np.int64),
             ev_line_no=z[:0], ev_idx=z[:0], ev_token=z[:0],
             ev_type=np.zeros(0, np.int8), ev_action=np.zeros(0, np.int8))
@@ -214,6 +220,10 @@ def clean_flat(toks: np.ndarray, offsets: np.ndarray,
     row_of = np.repeat(np.arange(nrows, dtype=np.int64), lengths)
     n_detected = np.bincount(row_of[report], minlength=nrows)
     had_marker = n_detected > 0
+    hidden_rep = hidden if cfg.clean else (hidden & ~is_bom)
+    n_hidden_row = np.bincount(row_of[hidden_rep], minlength=nrows)
+    n_ivs_row = np.bincount(row_of[ivs], minlength=nrows)
+    n_typo_row = np.bincount(row_of[typo], minlength=nrows)
 
     if cfg.clean:
         # compact per-line ids from the monotone line_start positions
@@ -230,7 +240,10 @@ def clean_flat(toks: np.ndarray, offsets: np.ndarray,
         n_processed = np.zeros(nrows, dtype=np.int64)
 
     res = KernelResult(out, out_offsets, n_detected.astype(np.int64),
-                       n_processed, had_marker)
+                       n_processed, had_marker,
+                       n_hidden=n_hidden_row.astype(np.int64),
+                       n_ivs=n_ivs_row.astype(np.int64),
+                       n_typo=n_typo_row.astype(np.int64))
 
     if emit_events:
         ev = np.nonzero(report)[0]

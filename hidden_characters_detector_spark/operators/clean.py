@@ -50,7 +50,8 @@ def _list_array(values: np.ndarray, offsets: np.ndarray) -> pa.ListArray:
 
 
 CLEAN_OUTPUT_COLS = ("tokens_clean", "n_tok_clean", "n_detected",
-                     "n_processed", "had_marker")
+                     "n_processed", "had_marker", "n_hidden", "n_ivs",
+                     "n_typo")
 
 
 def clean_schema(df: DataFrame) -> str:
@@ -59,7 +60,8 @@ def clean_schema(df: DataFrame) -> str:
             if f.name != "tokens"]
     return ", ".join(keep + [
         "tokens_clean array<int>", "n_tok_clean int", "n_detected int",
-        "n_processed int", "had_marker boolean"])
+        "n_processed int", "had_marker boolean", "n_hidden int",
+        "n_ivs int", "n_typo int"])
 
 
 def clean_detect(df: DataFrame, cfg: DetectorConfig = FULL_CLEAN) -> DataFrame:
@@ -77,6 +79,9 @@ def clean_detect(df: DataFrame, cfg: DetectorConfig = FULL_CLEAN) -> DataFrame:
                 pa.array(res.n_detected, type=pa.int32()),
                 pa.array(res.n_processed, type=pa.int32()),
                 pa.array(res.had_marker, type=pa.bool_()),
+                pa.array(res.n_hidden, type=pa.int32()),
+                pa.array(res.n_ivs, type=pa.int32()),
+                pa.array(res.n_typo, type=pa.int32()),
             ]
             yield pa.RecordBatch.from_arrays(
                 arrays, names=passthrough + list(CLEAN_OUTPUT_COLS))
@@ -151,3 +156,113 @@ def detect_events(df: DataFrame, cfg: DetectorConfig = FULL_CLEAN) -> DataFrame:
             yield pa.RecordBatch.from_arrays(arrays, names=names)
 
     return df.mapInArrow(run, event_schema(df))
+
+
+def clean_documents(df: DataFrame, text_col: str = "text",
+                    cfg: DetectorConfig = FULL_CLEAN, *,
+                    keep: list[str] | None = None,
+                    emit_text: bool = True) -> DataFrame:
+    """FUSED text-corpus cleaner: string -> tokens -> kernel -> cleaned
+    string/stats in ONE Arrow pass (one Python worker hop instead of the
+    tokenize → clean_detect → detokenize chain — one serialization of the
+    corpus instead of three).
+    """
+    from ..sources.synth import flat_tokens_to_strings, strings_to_flat_tokens
+
+    keep = [f.name for f in df.schema.fields if f.name != text_col] \
+        if keep is None else keep
+    kept_ddl = [f"{f.name} {f.dataType.simpleString()}"
+                for f in df.schema.fields if f.name in keep]
+    out_cols = (["text_clean string"] if emit_text
+                else ["tokens_clean array<int>"])
+    ddl = ", ".join(kept_ddl + out_cols + [
+        "n_tok int", "n_tok_clean int", "n_detected int",
+        "n_processed int", "had_marker boolean", "n_hidden int",
+        "n_ivs int", "n_typo int"])
+
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            flat, offsets = strings_to_flat_tokens(batch.column(text_col))
+            res = kernel.clean_flat(flat, offsets, cfg)
+            if emit_text:
+                payload = [flat_tokens_to_strings(res.out_tokens,
+                                                  res.out_offsets)]
+            else:
+                payload = [_list_array(res.out_tokens, res.out_offsets)]
+            arrays = [batch.column(c) for c in keep] + payload + [
+                pa.array(np.diff(offsets), type=pa.int32()),
+                pa.array(np.diff(res.out_offsets), type=pa.int32()),
+                pa.array(res.n_detected, type=pa.int32()),
+                pa.array(res.n_processed, type=pa.int32()),
+                pa.array(res.had_marker, type=pa.bool_()),
+                pa.array(res.n_hidden, type=pa.int32()),
+                pa.array(res.n_ivs, type=pa.int32()),
+                pa.array(res.n_typo, type=pa.int32()),
+            ]
+            names = keep + (["text_clean"] if emit_text
+                            else ["tokens_clean"]) + [
+                "n_tok", "n_tok_clean", "n_detected", "n_processed",
+                "had_marker", "n_hidden", "n_ivs", "n_typo"]
+            yield pa.RecordBatch.from_arrays(arrays, names=names)
+
+    return df.mapInArrow(run, ddl)
+
+
+def document_events(df: DataFrame, text_col: str = "text",
+                    cfg: DetectorConfig = FULL_CLEAN, *,
+                    keep: list[str] | None = None) -> DataFrame:
+    """FUSED text-corpus event emitter: string -> tokens -> events in one
+    Arrow pass (vs tokenize → detect_events)."""
+    from ..sources.synth import strings_to_flat_tokens
+
+    keep = [f.name for f in df.schema.fields if f.name != text_col] \
+        if keep is None else keep
+    kept_ddl = [f"{f.name} {f.dataType.simpleString()}"
+                for f in df.schema.fields if f.name in keep]
+    ddl = ", ".join(kept_ddl + [EVENT_SCHEMA_SUFFIX])
+    type_lut = pa.array([None] + [kernel.TYPE_NAMES[i] for i in (1, 2, 3)],
+                        type=pa.string())
+    act_lut = pa.array(
+        [None] + [kernel.ACTION_NAMES[i] for i in (1, 2, 3, 4, 5)],
+        type=pa.string())
+    from .. import markers as mk
+
+    def _repls(res) -> pa.ListArray:
+        acts, toks = res.ev_action, res.ev_token
+        replaced = acts == kernel.ACT_REPLACED
+        lens = np.where(replaced, kernel.REPL_LEN_LUT[toks], 0).astype(
+            np.int64)
+        cum = np.concatenate([[0], np.cumsum(lens)])
+        flat = np.empty(int(cum[-1]), dtype=np.int64)
+        rp = np.nonzero(replaced)[0]
+        if rp.size:
+            starts, ridx = cum[rp], kernel.REPL_IDX_LUT[toks[rp]]
+            rl = lens[rp]
+            for k in range(mk.MAX_REPLACEMENT_LEN):
+                sel = rl > k
+                flat[starts[sel] + k] = kernel.REPL_FLAT[ridx[sel] + k]
+        return pa.ListArray.from_arrays(
+            pa.array(cum, type=pa.int64()).cast(pa.int32()),
+            pa.array(flat, type=pa.int64()).cast(_TOKEN_T),
+            mask=pa.array(acts == kernel.ACT_DETECTED))
+
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            flat, offsets = strings_to_flat_tokens(batch.column(text_col))
+            res = kernel.clean_flat(flat, offsets, cfg, emit_events=True)
+            counts = np.diff(res.ev_offsets)
+            take = pa.array(np.repeat(np.arange(len(counts)), counts),
+                            type=pa.int64())
+            arrays = [batch.column(c).take(take) for c in keep] + [
+                pa.array(res.ev_line_no, type=pa.int32()),
+                pa.array(res.ev_idx, type=pa.int32()),
+                pa.array(res.ev_token, type=pa.int32()),
+                type_lut.take(pa.array(res.ev_type.astype(np.int64))),
+                act_lut.take(pa.array(res.ev_action.astype(np.int64))),
+                _repls(res),
+            ]
+            yield pa.RecordBatch.from_arrays(
+                arrays, names=keep + ["line_no", "idx", "token",
+                                      "marker_type", "action", "replacement"])
+
+    return df.mapInArrow(run, ddl)

@@ -80,6 +80,7 @@ def spark():
     # (see bench.py) so repeated Arrow batches don't re-fault every run
     os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", str(1 << 30))
     os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", str(256 << 20))
+    os.environ.setdefault("ARROW_DEFAULT_MEMORY_POOL", "system")
     from pyspark.sql import SparkSession
 
     s = (SparkSession.builder.master("local[4]")
@@ -88,7 +89,7 @@ def spark():
          .config("spark.sql.adaptive.enabled", "true")
          .config("spark.default.parallelism", "8")
          .config("spark.ui.enabled", "false")
-         .config("spark.driver.memory", "4g")
+         .config("spark.driver.memory", "6g")
          .getOrCreate())
     yield s
     s.stop()

@@ -223,3 +223,11 @@ def test_exhaustive_marker_sweep(oracle, flags):
     assert got == exp["tokens_clean"]
     assert int(res.n_detected[0]) == exp["n_detected"]
     assert int(res.n_processed[0]) == exp["n_processed"]
+
+
+def test_family_counts_sum_to_detected():
+    rows = [[ord(c) for c in t] for t in PATTERNS.values()]
+    for cfg in (DetectorConfig(), DetectorConfig(clean=False)):
+        res = kernel.clean_rows(rows, cfg)
+        assert (res.n_hidden + res.n_ivs + res.n_typo
+                == res.n_detected).all()
