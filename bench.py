@@ -32,7 +32,10 @@ os.environ.setdefault("MALLOC_TOP_PAD_", str(128 << 20))
 os.environ.setdefault("ARROW_DEFAULT_MEMORY_POOL", "system")
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+# default 8: this VM's lazily-backed memory throttles >8 concurrent Spark
+# workers (see BENCH/BASELINE.md environment notes); explicit env overrides
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "8"))
+WARMUP_ROUNDS = int(os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "2"))
 TARGET_ROWS = int(os.environ.get("SPARK_GRAFT_BENCH_ROWS", "600000"))
 
 
@@ -123,7 +126,9 @@ def main() -> None:
         tok = tok.localCheckpoint()  # materialize once; bench the engine,
         # not the synthetic generator
         qs = bench_queries(spark, tok)
-        qs["clean_full"]()  # warmup: fault worker heaps once, off the clock
+        for _ in range(WARMUP_ROUNDS):  # fault worker heaps, off the clock
+            for fn in qs.values():
+                fn()
         timings: dict[str, float] = {}
         for name, fn in qs.items():
             t0 = time.perf_counter()

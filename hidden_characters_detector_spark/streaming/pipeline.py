@@ -108,8 +108,10 @@ def salted_density_windows(events: DataFrame, *,
               .groupBy(w, "source",
                        F.pmod(F.hash("doc_id"), F.lit(salt)).alias("salt"))
               .agg(F.count("*").alias("c")))
+    # window_time() re-exposes the event-time column so the second stateful
+    # aggregation inherits the watermark (multi-stateful-operator chaining)
     return (phase1
-            .groupBy(F.window(F.col("window.start"), window), "source")
+            .groupBy(F.window(F.window_time("window"), window), "source")
             .agg(F.sum("c").alias("n_detections"))
             .select(F.col("window.start").alias("window_start"), "source",
                     "n_detections"))

@@ -247,3 +247,34 @@ def test_scan_stats_stream_batch_equivalence(spark):
                pipeline.clean_stream(df)).collect()}
     assert got[(_mins(0), "web")] == (2, 1, 1, 1)
     assert got[(_mins(0), "books")] == (1, 1, 1, 1)
+
+
+def test_salted_density_streaming_mode(spark, tmp_path):
+    """Two-phase salted density as a real STREAM (multi-stateful-operator
+    chaining via window_time — regression test for watermark propagation)."""
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    now = time.time()
+    _write_file(spark, [
+        _row("s1", [ZWSP, A, ZWSP], "web", _mins(0)),
+        _row("s2", [ZWSP], "web", _mins(0.5)),
+        _row("s3", [ZWSP], "books", _mins(0.2)),
+    ], os.path.join(src, "f1"), now - 300)
+    _write_file(spark, [_row("s4", [ZWSP], "web", _mins(40))],
+                os.path.join(src, "f2"), now - 200)
+    _write_file(spark, [_row("s5", [ZWSP], "web", _mins(41))],
+                os.path.join(src, "f3"), now - 100)
+
+    tok = pipeline.read_token_stream(spark, src, max_files_per_trigger=1)
+    dens = pipeline.salted_density_windows(pipeline.event_stream(tok),
+                                           watermark="10 minutes",
+                                           window="1 minute", salt=4)
+    q = (dens.writeStream.format("memory").queryName("saltdens")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    out = {(r["window_start"], r["source"]): r["n_detections"]
+           for r in spark.sql("select * from saltdens").collect()}
+    assert out[(_mins(0), "web")] == 3
+    assert out[(_mins(0), "books")] == 1
