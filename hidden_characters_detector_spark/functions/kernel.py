@@ -30,6 +30,29 @@ import numpy as np
 
 from .. import markers
 
+
+def _tune_malloc() -> None:
+    """Keep freed kernel temps resident (runtime mallopt, glibc only).
+
+    This sandbox's lazily-backed VM memory makes fresh page writes cost
+    ~0.5 ms each; without pinning the trim/mmap thresholds every Arrow batch
+    re-faults its temporaries (10-30x slowdowns).  Runs at import time in
+    every Python worker, so it applies even when the driver env was not
+    prepared (e.g. an externally created SparkSession).  No-op off glibc.
+    """
+    try:  # pragma: no cover - environment dependent
+        import ctypes
+
+        libc = ctypes.CDLL("libc.so.6", use_errno=True)
+        M_TRIM_THRESHOLD, M_MMAP_THRESHOLD = -1, -3
+        libc.mallopt(M_TRIM_THRESHOLD, 1 << 30)
+        libc.mallopt(M_MMAP_THRESHOLD, 256 << 20)
+    except Exception:
+        pass
+
+
+_tune_malloc()
+
 # --- marker-type / action codes (event schema vocabulary) -------------------
 TYPE_HIDDEN, TYPE_IVS, TYPE_TYPOGRAPHIC = 1, 2, 3
 TYPE_NAMES = {TYPE_HIDDEN: "Hidden", TYPE_IVS: "IdeographicVS",
@@ -141,7 +164,26 @@ def clean_flat(toks: np.ndarray, offsets: np.ndarray,
 
     ``toks``: int array of concatenated per-row codepoints.
     ``offsets``: int array, length R+1, row i = toks[offsets[i]:offsets[i+1]].
+
+    Delegates to :mod:`.kernel_core` (memory-lean implementation; sparse
+    line attribution, int32 temporaries).  The dense reference
+    implementation below is kept as ``clean_flat_dense`` for differential
+    testing of the core itself.
     """
+    from . import kernel_core
+
+    consts = (CLASS_LUT, REPL_LEN_LUT, REPL_IDX_LUT, REPL_FLAT,
+              EMOJI_BASE_ARR, TYPE_HIDDEN, TYPE_IVS, TYPE_TYPOGRAPHIC,
+              ACT_DETECTED, ACT_REMOVED, ACT_REPLACED, ACT_BOM,
+              _UNICODE_MAX, KernelResult)
+    return kernel_core.run(toks, offsets, cfg, emit_events, consts)
+
+
+def clean_flat_dense(toks: np.ndarray, offsets: np.ndarray,
+                     cfg: DetectorConfig = FULL_CLEAN,
+                     emit_events: bool = False) -> KernelResult:
+    """Original dense implementation (cross-checked against the sparse
+    core in tests)."""
     toks = np.asarray(toks, dtype=np.int64)
     offsets = np.asarray(offsets, dtype=np.int64)
     n = int(toks.shape[0])

@@ -37,8 +37,7 @@ def _flat_tokens(col: pa.Array) -> tuple[np.ndarray, np.ndarray]:
         col = col.combine_chunks()
     lengths = col.value_lengths().to_numpy(zero_copy_only=False)
     offsets = np.concatenate([[0], np.cumsum(lengths, dtype=np.int64)])
-    values = col.flatten().to_numpy(zero_copy_only=False).astype(
-        np.int64, copy=False)
+    values = col.flatten().to_numpy(zero_copy_only=False)  # native int32
     return values, offsets
 
 
@@ -46,7 +45,7 @@ def _list_array(values: np.ndarray, offsets: np.ndarray) -> pa.ListArray:
     return pa.ListArray.from_arrays(
         pa.array(offsets, type=pa.int64()).cast(pa.int32())
         if offsets[-1] < 2**31 else pa.array(offsets, type=pa.int64()),
-        pa.array(values, type=pa.int64()).cast(_TOKEN_T))
+        pa.array(values).cast(_TOKEN_T))
 
 
 CLEAN_OUTPUT_COLS = ("tokens_clean", "n_tok_clean", "n_detected",

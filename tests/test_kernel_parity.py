@@ -231,3 +231,35 @@ def test_family_counts_sum_to_detected():
         res = kernel.clean_rows(rows, cfg)
         assert (res.n_hidden + res.n_ivs + res.n_typo
                 == res.n_detected).all()
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_sparse_core_equals_dense(seed):
+    """The memory-lean sparse core == the dense implementation on
+    newline-heavy random corpora (both event and non-event paths)."""
+    rng = random.Random(1000 + seed)
+    rows = []
+    for _ in range(60):
+        n = rng.randint(0, 80)
+        rows.append([
+            rng.choice(MARKER_POOL) if rng.random() < 0.3
+            else (0x0A if rng.random() < 0.15 else rng.choice(BASE_POOL))
+            for _ in range(n)])
+    lengths = [len(r) for r in rows]
+    offsets = [0]
+    for ln in lengths:
+        offsets.append(offsets[-1] + ln)
+    import numpy as np
+    flat = np.array([t for r in rows for t in r], dtype=np.int64)
+    off = np.array(offsets, dtype=np.int64)
+    for cfg in (DetectorConfig(), DetectorConfig(clean=False),
+                DetectorConfig(check_ivs=False),
+                DetectorConfig(excluded=frozenset({0x200B}))):
+        a = kernel.clean_flat(flat, off, cfg, emit_events=True)
+        b = kernel.clean_flat_dense(flat, off, cfg, emit_events=True)
+        assert a.out_tokens.tolist() == b.out_tokens.tolist()
+        assert a.out_offsets.tolist() == b.out_offsets.tolist()
+        for f in ("n_detected", "n_processed", "had_marker", "n_hidden",
+                  "n_ivs", "n_typo", "ev_offsets", "ev_line_no", "ev_idx",
+                  "ev_token", "ev_type", "ev_action"):
+            assert getattr(a, f).tolist() == getattr(b, f).tolist(), f
