@@ -704,3 +704,86 @@ _EXTRA_QUERIES["markers_found"] = q_markers_found
 _EXTRA_QUERIES["line_reports"] = q_line_reports
 _EXTRA_ORACLES["markers_found"] = _o_markers_found
 _EXTRA_ORACLES["line_reports"] = _o_line_reports
+
+
+# =========================================================================
+# relational breadth: multi-join, window functions, anti-join (SURVEY §2.3/2.5)
+# =========================================================================
+def q_shipping_priority(spark, sf_dir):
+    """3-way join + filtered agg + sort-limit (TPC-H Q3 shape)."""
+    c = _table(spark, sf_dir, "customer")
+    o = _table(spark, sf_dir, "orders")
+    li = _table(spark, sf_dir, "lineitem")
+    rev = F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                .cast("decimal(18,4)")).cast("double")
+    return (c.where(F.col("c_mktsegment") == "BUILDING")
+            .join(o, c.c_custkey == o.o_custkey)
+            .join(li, o.o_orderkey == li.l_orderkey)
+            .where(F.col("l_shipdate") > F.col("o_orderdate"))
+            .groupBy("l_orderkey")
+            .agg(rev.alias("revenue"),
+                 F.count("*").cast("long").alias("n_items"))
+            .orderBy(F.desc("revenue"), "l_orderkey").limit(10))
+
+
+def _o_shipping_priority():
+    return """
+    SELECT l_orderkey,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE c_mktsegment = 'BUILDING' AND l_shipdate > o_orderdate
+    GROUP BY l_orderkey
+    ORDER BY revenue DESC, l_orderkey LIMIT 10"""
+
+
+def q_top_users_per_type(spark, sf_dir):
+    """Window function (rank within group) over the events table."""
+    from pyspark.sql import Window
+    ev = _table(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type", "user_id").agg(
+        F.count("*").cast("long").alias("n_events"))
+    w = Window.partitionBy("event_type").orderBy(
+        F.desc("n_events"), "user_id")
+    return (agg.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= 3)
+            .select("event_type", "user_id", "n_events",
+                    F.col("rk").cast("long").alias("rk")))
+
+
+def _o_top_users_per_type():
+    return """
+    WITH a AS (
+      SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS n_events
+      FROM events GROUP BY event_type, user_id),
+    r AS (
+      SELECT *, row_number() OVER (PARTITION BY event_type
+               ORDER BY n_events DESC, user_id) AS rk FROM a)
+    SELECT event_type, user_id, n_events, CAST(rk AS BIGINT) AS rk
+    FROM r WHERE rk <= 3"""
+
+
+def q_customers_without_orders(spark, sf_dir):
+    """Anti join (the relational form of P1's exclusion filter)."""
+    c = _table(spark, sf_dir, "customer")
+    o = _table(spark, sf_dir, "orders")
+    return (c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+            .select("c_custkey", "c_mktsegment"))
+
+
+def _o_customers_without_orders():
+    return """
+    SELECT c_custkey, c_mktsegment FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey)"""
+
+
+_EXTRA_QUERIES["shipping_priority"] = q_shipping_priority
+_EXTRA_QUERIES["top_users_per_type"] = q_top_users_per_type
+_EXTRA_QUERIES["customers_without_orders"] = q_customers_without_orders
+_EXTRA_ORACLES["shipping_priority"] = _o_shipping_priority
+_EXTRA_ORACLES["top_users_per_type"] = _o_top_users_per_type
+_EXTRA_ORACLES["customers_without_orders"] = _o_customers_without_orders

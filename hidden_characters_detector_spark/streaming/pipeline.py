@@ -169,3 +169,19 @@ def scan_stats_stream(cleaned: DataFrame, *,
             .select(F.col("window.start").alias("window_start"), "source",
                     "files_processed", "files_with_markers",
                     "total_markers_detected", "total_markers_processed"))
+
+
+ROCKSDB_PROVIDER = ("org.apache.spark.sql.execution.streaming.state."
+                    "RocksDBStateStoreProvider")
+
+
+def use_rocksdb_state_store(spark) -> None:
+    """Switch streaming state to RocksDB (the at-scale choice: state no
+    longer bounded by executor heap; changelog checkpointing keeps commits
+    incremental).  HDFS-backed in-memory provider remains the default for
+    tiny local tests."""
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+                   ROCKSDB_PROVIDER)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing"
+        ".enabled", "true")

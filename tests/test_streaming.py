@@ -278,3 +278,62 @@ def test_salted_density_streaming_mode(spark, tmp_path):
            for r in spark.sql("select * from saltdens").collect()}
     assert out[(_mins(0), "web")] == 3
     assert out[(_mins(0), "books")] == 1
+
+
+def test_rocksdb_state_store_density(spark, tmp_path):
+    """Density windows on the RocksDB state-store provider (the at-scale
+    state backend), including checkpoint resume on new data."""
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    now = time.time()
+    _write_file(spark, [_row("r1", [ZWSP, A], "web", _mins(0)),
+                        _row("r2", [ZWSP], "web", _mins(0.4))],
+                os.path.join(src, "f1"), now - 300)
+    _write_file(spark, [_row("r3", [ZWSP], "web", _mins(30))],
+                os.path.join(src, "f2"), now - 250)
+    _write_file(spark, [_row("r4", [ZWSP], "web", _mins(31))],
+                os.path.join(src, "f3"), now - 200)
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass",
+                          None)
+    pipeline.use_rocksdb_state_store(spark)
+    try:
+        out_dir = str(tmp_path / "out")
+
+        def start():
+            tok = pipeline.read_token_stream(spark, src,
+                                             max_files_per_trigger=1)
+            dens = pipeline.density_windows(pipeline.event_stream(tok),
+                                            watermark="10 minutes",
+                                            window="1 minute")
+            return exactly_once_parquet_sink(
+                dens, out_dir, str(tmp_path / "ck"), query_name="rdens")
+
+        def sink_rows():
+            return {(r["window_start"], r["source"]): r["n_detections"]
+                    for r in read_sink(spark, out_dir).collect()}
+
+        q = start()
+        q.awaitTermination(180)
+        out = sink_rows()
+        assert out.get((_mins(0), "web")) == 2
+
+        # resume from the RocksDB checkpoint with new data: watermark and
+        # window state survive the restart
+        _write_file(spark, [_row("r5", [ZWSP], "web", _mins(32))],
+                    os.path.join(src, "f4"), now - 100)
+        _write_file(spark, [_row("r6", [ZWSP], "web", _mins(60))],
+                    os.path.join(src, "f5"), now - 50)
+        q2 = start()
+        q2.awaitTermination(180)
+        out2 = sink_rows()
+        # windows 30/31 finalize only if their state survived the restart
+        assert out2.get((_mins(30), "web")) == 1
+        assert out2.get((_mins(31), "web")) == 1
+    finally:
+        if prev:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset(
+                "spark.sql.streaming.stateStore.providerClass")
