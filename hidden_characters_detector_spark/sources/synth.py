@@ -176,3 +176,48 @@ def token_table(spark: SparkSession, sf_dir: str, inject: bool = True,
                 names=["doc_id", "tokens", "n_tok", "source", "event_time"])
 
     return docs.mapInArrow(run, out_schema)
+
+
+def rate_token_stream(spark: SparkSession, *, rows_per_second: int = 100,
+                      seed: int = 42, rate: float = 0.04) -> DataFrame:
+    """Streaming smoke source (SURVEY S5 analog): the built-in ``rate``
+    source mapped to deterministic synthetic token sequences.
+
+    Each rate tick becomes one sequence whose tokens/markers derive from the
+    tick's value (same injection machinery as :func:`token_table`), so a
+    smoke stream needs no files at all.
+    """
+    import pyarrow as pa  # noqa: F811 (worker-side import)
+
+    rate_src = (spark.readStream.format("rate")
+                .option("rowsPerSecond", rows_per_second).load())
+    out_schema = ("doc_id string, tokens array<int>, n_tok int, "
+                  "source string, event_time timestamp")
+    base = "spark streaming engine test sequence payload "
+
+    def run(batches):
+        for batch in batches:
+            vals = batch.column("value").to_numpy(
+                zero_copy_only=False).astype(np.uint64)
+            texts = pa.array([base + str(v) for v in vals.tolist()],
+                             type=pa.string())
+            flat, offsets = strings_to_flat_tokens(texts)
+            doc_seed = _mix64(vals + np.uint64(seed))
+            flat, offsets = inject_flat(flat, offsets, doc_seed,
+                                        rate=rate, seed=seed)
+            src_idx = np.searchsorted(
+                _SOURCE_CUTS, (doc_seed >> np.uint64(8)) % np.uint64(100),
+                side="right")
+            yield pa.RecordBatch.from_arrays(
+                [pa.array([f"rate{v}" for v in vals.tolist()],
+                          type=pa.string()),
+                 pa.ListArray.from_arrays(
+                     pa.array(offsets, type=pa.int64()).cast(pa.int32()),
+                     pa.array(flat, type=pa.int64()).cast(pa.int32())),
+                 pa.array(np.diff(offsets), type=pa.int32()),
+                 pa.array(np.asarray(SOURCES, dtype=object)[src_idx],
+                          type=pa.string()),
+                 batch.column("timestamp").cast(pa.timestamp("us"))],
+                names=["doc_id", "tokens", "n_tok", "source", "event_time"])
+
+    return rate_src.mapInArrow(run, out_schema)

@@ -115,3 +115,102 @@ def test_token_table_roundtrip_cleaning_restores_text(spark, oracle):
         checked += 1
         had += bool(got["had_marker"])
     assert checked == 40 and had > 10  # injection actually injected
+
+
+def test_read_corpus_glob_and_recursive(spark, tmp_path):
+    """S2/S3: recursive lookup + pathGlobFilter reader options."""
+    import os
+    from hidden_characters_detector_spark.sources.batch import (
+        read_corpus, with_lineage)
+    d1 = tmp_path / "a"
+    d2 = tmp_path / "a" / "nested"
+    os.makedirs(d2)
+    df = spark.range(5).selectExpr("id", "'x' AS tag")
+    df.coalesce(1).write.parquet(str(d1 / "keep_me"))
+    df.coalesce(1).write.parquet(str(d2 / "deep"))
+    # recursive picks up both levels
+    got = read_corpus(spark, str(tmp_path), recursive=True)
+    assert got.count() == 10
+    # glob filter (S3): restrict to one file name pattern
+    part = next(f for f in os.listdir(d1 / "keep_me")
+                if f.endswith(".parquet"))
+    os.replace(str(d1 / "keep_me" / part), str(tmp_path / "only.parquet"))
+    assert read_corpus(spark, str(tmp_path), glob="only*").count() == 5
+    # lineage columns attach per-file provenance
+    lin = with_lineage(got)
+    files = {r["_input_file"] for r in lin.select("_input_file").collect()}
+    assert len(files) == 2
+    assert "_partition_id" in lin.columns
+
+
+def test_rate_token_stream_smoke(spark, tmp_path):
+    """S5 streaming smoke: rate source mapped to synthetic sequences,
+    cleaned in-stream."""
+    from hidden_characters_detector_spark.streaming import pipeline
+    stream = synth.rate_token_stream(spark, rows_per_second=50)
+    cleaned = pipeline.clean_stream(stream)
+    q = (cleaned.writeStream.format("memory").queryName("ratesmoke")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .start())
+    try:
+        import time as _t
+        deadline = _t.time() + 60
+        n = 0
+        while _t.time() < deadline:
+            n = spark.sql("select count(*) c from ratesmoke").collect()[0]["c"]
+            if n >= 20:
+                break
+            _t.sleep(2)
+        assert n >= 20
+        rows = spark.sql(
+            "select * from ratesmoke where had_marker limit 5").collect()
+        for r in rows:
+            assert r["n_detected"] > 0 and r["n_tok_clean"] <= r["n_tok"] + 3
+    finally:
+        q.stop()
+
+
+def test_vs16_emoji_rule_when_library_present(monkeypatch):
+    """P2: with an emoji base set available, FE0F after an emoji base is
+    KEPT mid-line but removed at line start (ref :664-671).  The library is
+    absent in this sandbox, so the base set is injected."""
+    import numpy as np
+    from hidden_characters_detector_spark.functions import kernel
+    monkeypatch.setattr(kernel, "EMOJI_BASE_ARR",
+                        np.array([0x2764], dtype=np.int64))
+    heart, fe0f = 0x2764, 0xFE0F
+    rows = [
+        [ord("h"), heart, fe0f, ord("i")],   # kept
+        [fe0f, ord("x")],                    # line start -> removed
+        [ord("a"), 0x0A, fe0f, ord("b")],    # start of line 2 -> removed
+        [ord("a"), fe0f],                    # no emoji base before -> removed
+    ]
+    res = kernel.clean_rows(rows, kernel.FULL_CLEAN)
+    outs = [res.out_tokens[res.out_offsets[i]:res.out_offsets[i+1]].tolist()
+            for i in range(4)]
+    assert outs[0] == [ord("h"), heart, fe0f, ord("i")]
+    assert outs[1] == [ord("x")]
+    assert outs[2] == [ord("a"), 0x0A, ord("b")]
+    assert outs[3] == [ord("a")]
+    assert res.n_detected.tolist() == [0, 1, 1, 1]
+
+
+def test_sf001_full_corpus_differential(spark, oracle):
+    """FIXTURES correctness tier: the whole sf0.01 synthetic corpus (500
+    docs, seeded random marker injection) vs the reference detector run
+    in-process, token-for-token plus all counters."""
+    tok = synth.token_table(spark, "/root/testdata/sf0.01")
+    cleaned = {r["doc_id"]: r for r in clean_detect(tok, FULL_CLEAN).collect()}
+    raw = tok.collect()
+    assert len(raw) == 500
+    mismatches = 0
+    for r in raw:
+        exp = oracle.run("".join(map(chr, r["tokens"])))
+        got = cleaned[r["doc_id"]]
+        ok = (got["tokens_clean"] == exp["tokens_clean"]
+              and got["n_detected"] == exp["n_detected"]
+              and got["n_processed"] == exp["n_processed"]
+              and got["had_marker"] == exp["had_marker"])
+        mismatches += not ok
+    assert mismatches == 0
