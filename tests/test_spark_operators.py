@@ -131,11 +131,17 @@ def test_read_corpus_glob_and_recursive(spark, tmp_path):
     # recursive picks up both levels
     got = read_corpus(spark, str(tmp_path), recursive=True)
     assert got.count() == 10
-    # glob filter (S3): restrict to one file name pattern
-    part = next(f for f in os.listdir(d1 / "keep_me")
-                if f.endswith(".parquet"))
-    os.replace(str(d1 / "keep_me" / part), str(tmp_path / "only.parquet"))
-    assert read_corpus(spark, str(tmp_path), glob="only*").count() == 5
+    # glob filter (S3): restrict to one file name pattern (own dir: Spark
+    # caches file listings per path, so don't mutate an already-read dir)
+    g = tmp_path / "globdir"
+    os.makedirs(g)
+    for n, name in ((3, "aa.parquet"), (4, "bb.parquet")):
+        stage = str(tmp_path / "stage")
+        spark.range(n).coalesce(1).write.mode("overwrite").parquet(stage)
+        part = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+        os.replace(os.path.join(stage, part), str(g / name))
+    assert read_corpus(spark, str(g), glob="aa*").count() == 3
+    assert read_corpus(spark, str(g), glob="*.parquet").count() == 7
     # lineage columns attach per-file provenance
     lin = with_lineage(got)
     files = {r["_input_file"] for r in lin.select("_input_file").collect()}
