@@ -787,3 +787,79 @@ _EXTRA_QUERIES["customers_without_orders"] = q_customers_without_orders
 _EXTRA_ORACLES["shipping_priority"] = _o_shipping_priority
 _EXTRA_ORACLES["top_users_per_type"] = _o_top_users_per_type
 _EXTRA_ORACLES["customers_without_orders"] = _o_customers_without_orders
+
+
+# =========================================================================
+# composite training-data pipeline: clean -> quality -> lang -> dedup
+# =========================================================================
+def q_training_pipeline(spark, sf_dir):
+    """End-to-end curation pass: watermark-clean the corpus, score quality
+    on the CLEANED text, keep passable English docs, exact-dedup keeping
+    the min doc_id — the composed shape of a real training-data pipeline."""
+    from pyspark.sql import Window
+    from hidden_characters_detector_spark.operators import text_analysis
+    cleaned = _cleaned(spark, sf_dir, keep=["doc_id"], emit_text=True) \
+        .select("doc_id", "text_clean")
+    scored = text_analysis.quality_scores(cleaned, text_col="text_clean")
+    langed = text_analysis.language_id(scored, text_col="text_clean")
+    kept = langed.where((F.col("quality_score") >= 0.9)
+                        & (F.col("lang_pred") == "en"))
+    w = Window.partitionBy(F.md5(F.col("text_clean").cast("binary"))) \
+        .orderBy("doc_id")
+    return (kept.withColumn("_rk", F.row_number().over(w))
+            .where(F.col("_rk") == 1)
+            .select("doc_id", "text_clean",
+                    F.col("quality_score").cast("double")
+                    .alias("quality_score")))
+
+
+def _o_training_pipeline():
+    from hidden_characters_detector_spark.operators.text_analysis import (
+        LANG_STOPWORDS)
+    clean = osql.clean_expr(DUCKDB, "marked")
+    n = "length(text_clean)"
+    punct = f"({n} - length(regexp_replace(text_clean, '[^\\w\\s]', '', 'g')))"
+    digits = f"({n} - length(regexp_replace(text_clean, '[0-9]', '', 'g')))"
+    spaces = f"({n} - length(regexp_replace(text_clean, '[ ]', '', 'g')))"
+
+    def ratio(x):
+        return f"round({x} / greatest(CAST({n} AS DOUBLE), 1.0), 6)"
+
+    score = (f"round(1.0"
+             f" * (CASE WHEN {n} BETWEEN 50 AND 10000 THEN 1.0 ELSE 0.5 END)"
+             f" * (CASE WHEN {ratio(punct)} <= 0.2 THEN 1.0 ELSE 0.6 END)"
+             f" * (CASE WHEN {ratio(digits)} <= 0.3 THEN 1.0 ELSE 0.7 END)"
+             f" * (CASE WHEN {ratio(spaces)} BETWEEN 0.05 AND 0.4"
+             f"      THEN 1.0 ELSE 0.8 END), 6)")
+    sw_cols, langs = [], list(LANG_STOPWORDS)
+    for lang, words in LANG_STOPWORDS.items():
+        lst = ", ".join(osql.q(wd) for wd in words)
+        sw_cols.append(
+            f"len(list_filter(regexp_split_to_array(lower(text_clean), "
+            f"'[^a-zà-ÿ]+'), x -> x IN ({lst}))) AS sw_{lang}")
+    best = "greatest(" + ", ".join(f"sw_{la}" for la in langs) + ")"
+    case = [f"CASE WHEN {best} <= 0 THEN 'und'"]
+    for la in langs:
+        case.append(f"WHEN sw_{la} = {best} THEN '{la}'")
+    case.append("END AS lang_pred")
+    return f"""
+    WITH cleaned AS (
+      SELECT doc_id, {clean} AS text_clean
+      FROM {osql.marked_docs_sql(DUCKDB)} m),
+    scored AS (
+      SELECT doc_id, text_clean, {score} AS quality_score,
+             {', '.join(sw_cols)}
+      FROM cleaned),
+    langed AS (SELECT *, {' '.join(case)} FROM scored),
+    kept AS (
+      SELECT doc_id, text_clean, CAST(quality_score AS DOUBLE)
+                 AS quality_score
+      FROM langed WHERE quality_score >= 0.9 AND lang_pred = 'en'),
+    dedup AS (
+      SELECT *, row_number() OVER (PARTITION BY md5(text_clean)
+               ORDER BY doc_id) AS rk FROM kept)
+    SELECT doc_id, text_clean, quality_score FROM dedup WHERE rk = 1"""
+
+
+_EXTRA_QUERIES["training_pipeline"] = q_training_pipeline
+_EXTRA_ORACLES["training_pipeline"] = _o_training_pipeline

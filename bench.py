@@ -84,7 +84,8 @@ def bench_queries(spark, tok):
             F.sum(F.col("had_marker").cast("long"))).collect()
 
     def q_events_by_type():
-        return (detect_events(tok, FULL_CLEAN)
+        # keep=[] prunes the per-event passthrough fan-out entirely
+        return (detect_events(tok, FULL_CLEAN, keep=[])
                 .groupBy("marker_type", "action")
                 .agg(F.count("*"), F.sum("token")).collect())
 

@@ -92,19 +92,24 @@ EVENT_SCHEMA_SUFFIX = ("line_no int, idx int, token int, marker_type string, "
                        "action string, replacement array<int>")
 
 
-def event_schema(df: DataFrame) -> str:
-    keep = [f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
-            if f.name != "tokens"]
-    return ", ".join(keep + [EVENT_SCHEMA_SUFFIX])
+def event_schema(df: DataFrame, keep: list[str] | None = None) -> str:
+    cols = [f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+            if f.name != "tokens" and (keep is None or f.name in keep)]
+    return ", ".join(cols + [EVENT_SCHEMA_SUFFIX])
 
 
-def detect_events(df: DataFrame, cfg: DetectorConfig = FULL_CLEAN) -> DataFrame:
+def detect_events(df: DataFrame, cfg: DetectorConfig = FULL_CLEAN, *,
+                  keep: list[str] | None = None) -> DataFrame:
     """One output row per MarkerReport; passthrough columns fanned out.
 
-    Replacement column carries the applied replacement codepoints (empty for
-    removals, null when no replacement applied — mirrors ref :532 Optional).
+    ``keep`` prunes the passthrough columns — mapInArrow blocks Catalyst
+    column pruning, so dropping unused columns here avoids fanning them out
+    per event.  Replacement column carries the applied replacement
+    codepoints (empty for removals, null when no replacement applied —
+    mirrors ref :532 Optional).
     """
-    passthrough = [f.name for f in df.schema.fields if f.name != "tokens"]
+    passthrough = [f.name for f in df.schema.fields
+                   if f.name != "tokens" and (keep is None or f.name in keep)]
     # code -> name lookup arrays, applied with vectorized Arrow `take`
     type_lut = pa.array([None] + [kernel.TYPE_NAMES[i] for i in (1, 2, 3)],
                         type=pa.string())
@@ -154,7 +159,7 @@ def detect_events(df: DataFrame, cfg: DetectorConfig = FULL_CLEAN) -> DataFrame:
                                    "action", "replacement"]
             yield pa.RecordBatch.from_arrays(arrays, names=names)
 
-    return df.mapInArrow(run, event_schema(df))
+    return df.mapInArrow(run, event_schema(df, keep))
 
 
 def clean_documents(df: DataFrame, text_col: str = "text",

