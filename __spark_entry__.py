@@ -793,13 +793,17 @@ _EXTRA_ORACLES["customers_without_orders"] = _o_customers_without_orders
 # composite training-data pipeline: clean -> quality -> lang -> dedup
 # =========================================================================
 def q_training_pipeline(spark, sf_dir):
-    """End-to-end curation pass: watermark-clean the corpus, score quality
-    on the CLEANED text, keep passable English docs, exact-dedup keeping
-    the min doc_id — the composed shape of a real training-data pipeline."""
+    """End-to-end curation pass: strip watermarks (hidden/IVS/homoglyph
+    markers, all exactly reversible — the cleaned text is the pristine
+    document), score quality on the CLEANED text, keep passable English
+    docs, exact-dedup keeping the min doc_id — the composed shape of a real
+    training-data pipeline."""
     from pyspark.sql import Window
     from hidden_characters_detector_spark.operators import text_analysis
-    cleaned = _cleaned(spark, sf_dir, keep=["doc_id"], emit_text=True) \
-        .select("doc_id", "text_clean")
+    wm = _table(spark, sf_dir, "documents").selectExpr(
+        "doc_id", f"{osql.watermark_marked_expr()} AS marked")
+    cleaned = clean_documents(wm, text_col="marked", keep=["doc_id"],
+                              emit_text=True).select("doc_id", "text_clean")
     scored = text_analysis.quality_scores(cleaned, text_col="text_clean")
     langed = text_analysis.language_id(scored, text_col="text_clean")
     kept = langed.where((F.col("quality_score") >= 0.9)
@@ -845,7 +849,7 @@ def _o_training_pipeline():
     return f"""
     WITH cleaned AS (
       SELECT doc_id, {clean} AS text_clean
-      FROM {osql.marked_docs_sql(DUCKDB)} m),
+      FROM {osql.watermarked_docs_sql(DUCKDB)} m),
     scored AS (
       SELECT doc_id, text_clean, {score} AS quality_score,
              {', '.join(sw_cols)}

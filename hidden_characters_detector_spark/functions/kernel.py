@@ -112,6 +112,40 @@ FULL_CLEAN = DetectorConfig()
 DETECT_ONLY = DetectorConfig(clean=False)
 
 
+def parse_excluded_chars(vals: list[str] | tuple[str, ...]) -> frozenset[int]:
+    """CLI ``--exclude-char`` strings -> excluded codepoints.
+
+    Accepts ``U+XXXX``, bare 4-6 digit hex, or a single literal character —
+    the exact accept/reject matrix of the reference CLI parser
+    (``/root/reference/hidden-characters-detector.py:969-989``), including
+    its traps: ``U+A`` falls through to the literal branch (one char after
+    the prefix strip, so it means ``ord('A')``, not ``0xA``), and any
+    invalid token (bad hex, out-of-range codepoint, wrong length) is an
+    error — raised here as ``ValueError`` (the CLI maps it to exit code 1,
+    like the reference's ``SystemExit(1)``).
+    """
+    out: set[int] = set()
+    for token in vals:
+        tok = token.strip()
+        parsed: int | None = None
+        if tok.startswith("U+") and len(tok) > 2:
+            tok = tok[2:]
+        if 4 <= len(tok) <= 6 and tok.isalnum():
+            try:
+                parsed = int(tok, 16)
+                chr(parsed)  # range check (chr raises beyond U+10FFFF)
+            except ValueError:
+                parsed = None
+        elif len(tok) == 1:
+            parsed = ord(tok)
+        if parsed is None:
+            raise ValueError(
+                f"Invalid format for --exclude-char '{token}'. "
+                "Use U+XXXX, plain char, or hex.")
+        out.add(parsed)
+    return frozenset(out)
+
+
 @dataclass
 class KernelResult:
     """Flat-array outputs of one kernel invocation over R rows."""

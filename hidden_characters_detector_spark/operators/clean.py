@@ -32,19 +32,35 @@ _TOKEN_T = pa.int32()
 
 
 def _flat_tokens(col: pa.Array) -> tuple[np.ndarray, np.ndarray]:
-    """ListArray -> (flat values int64, offsets int64), slice-safe."""
+    """ListArray -> (flat values int64, offsets int64), slice- and null-safe.
+
+    NULL token lists count as empty (``flatten()`` already skips null slots,
+    so filling their lengths with 0 keeps offsets aligned with the values).
+    """
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
-    lengths = col.value_lengths().to_numpy(zero_copy_only=False)
+    lengths_arr = col.value_lengths()
+    if lengths_arr.null_count:
+        import pyarrow.compute as pc
+        lengths_arr = pc.fill_null(lengths_arr, 0)
+    lengths = lengths_arr.to_numpy(zero_copy_only=False)
     offsets = np.concatenate([[0], np.cumsum(lengths, dtype=np.int64)])
     values = col.flatten().to_numpy(zero_copy_only=False)  # native int32
     return values, offsets
 
 
 def _list_array(values: np.ndarray, offsets: np.ndarray) -> pa.ListArray:
+    if offsets[-1] >= 2**31:
+        # pa.ListArray requires int32 offsets; Spark's Arrow batches are
+        # bounded by maxRecordsPerBatch well below this — reaching it means
+        # the batch size config is broken, so fail loudly instead of
+        # emitting a large_list that wouldn't match the declared schema.
+        raise ValueError(
+            f"Arrow batch too large for list<int32> offsets "
+            f"({int(offsets[-1])} values); lower "
+            "spark.sql.execution.arrow.maxRecordsPerBatch")
     return pa.ListArray.from_arrays(
-        pa.array(offsets, type=pa.int64()).cast(pa.int32())
-        if offsets[-1] < 2**31 else pa.array(offsets, type=pa.int64()),
+        pa.array(offsets, type=pa.int64()).cast(pa.int32()),
         pa.array(values).cast(_TOKEN_T))
 
 

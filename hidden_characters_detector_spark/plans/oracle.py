@@ -115,3 +115,27 @@ def marked_docs_sql(dialect: str) -> str:
     """Shared FROM-clause: documents with an injected ``marked`` column."""
     return (f"(SELECT doc_id, source, lang, n_chars, "
             f"{marked_expr()} AS marked FROM documents)")
+
+
+# Watermark-only injection for the composite curation pipeline: every
+# injected marker is *exactly reversible* by full clean (hidden removal, IVS
+# removal, homoglyph fold-back, leading BOM), so cleaning restores the
+# pristine text and the downstream quality/lang/dedup stages see real
+# content — the watermark-stripping story of a training-data pipeline.
+# (marked_expr above also plants detect-only/dead-rule chars that survive
+# cleaning; those would shred every English stopword and make the lang
+# filter vacuously empty.)
+def watermark_marked_expr(col: str = "text", id_col: str = "doc_id") -> str:
+    e = f"translate({col}, 'ox', 'ох')"
+    for find, repl in [
+        ("e", "e​"),
+        ("m", "m\U000e0101"),
+    ]:
+        e = f"replace({e}, {q(find)}, {q(repl)})"
+    return (f"(CASE WHEN {id_col} % 7 = 0 THEN '﻿' || {e} "
+            f"ELSE {e} END)")
+
+
+def watermarked_docs_sql(dialect: str) -> str:
+    return (f"(SELECT doc_id, source, lang, n_chars, "
+            f"{watermark_marked_expr()} AS marked FROM documents)")

@@ -4,14 +4,16 @@ The reference's sink is a temp file + atomic ``os.replace`` + confirm
 (``/root/reference/hidden-characters-detector.py:720-757, :911-923``) — a
 single-node exactly-once commit.  The engine-scale equivalent is an Iceberg
 ``writeStream`` (snapshot commits); this sandbox has no Iceberg jars
-(SURVEY.md §4.2), so this module provides the documented fallback with the
-same contract:
+(SURVEY.md §4.2, :func:`iceberg_sink` below records the recipe), so this
+module provides the documented fallback with the same contract:
 
 * every micro-batch writes to its own ``batch_id=N`` partition directory
   with ``mode=overwrite`` — re-running a batch after a crash/restart
   *replaces* its partition instead of duplicating it (idempotent);
 * the write carries per-partition lineage columns; a JSON manifest per batch
-  records row counts for audit (S11 report-file analog);
+  records row counts for audit (S11 report-file analog).  The count comes
+  from the *written files' parquet footers* — zero recompute of the batch
+  (a ``batch_df.count()`` here would re-run the whole upstream clean);
 * Structured Streaming's checkpoint WAL guarantees each batch id is
   replayed with identical content, so overwrite-by-batch-id == exactly-once.
 """
@@ -26,6 +28,42 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 
+def parquet_dir_rows(path: str) -> int:
+    """Row count of a parquet directory from file footers only (no job).
+
+    Footer metadata is exact for committed files; at cluster scale the same
+    numbers come from the Iceberg snapshot summary instead.
+    """
+    import pyarrow.parquet as pq
+
+    total = 0
+    for f in os.listdir(path):
+        if f.endswith(".parquet") and not f.startswith("_"):
+            total += pq.read_metadata(os.path.join(path, f)).num_rows
+    return total
+
+
+def write_batch_partition(batch_df: DataFrame, batch_id: int,
+                          out_dir: str) -> int:
+    """Write one micro-batch to its idempotent ``batch_id=N`` partition.
+
+    Returns the committed row count (footer metadata, not a recompute) and
+    drops an atomic JSON manifest next to the partition.
+    """
+    out = (batch_df
+           .withColumn("batch_id", F.lit(batch_id))
+           .withColumn("sink_partition_id", F.spark_partition_id()))
+    path = os.path.join(out_dir, f"batch_id={batch_id}")
+    out.write.mode("overwrite").parquet(path)
+    n = parquet_dir_rows(path)
+    manifest = os.path.join(out_dir, f"_manifest_batch_{batch_id}.json")
+    tmp = manifest + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"batch_id": batch_id, "rows": n}, f)
+    os.replace(tmp, manifest)  # atomic, like the reference's commit
+    return n
+
+
 def exactly_once_parquet_sink(df: DataFrame, out_dir: str,
                               checkpoint_dir: str, *,
                               trigger_available_now: bool = True,
@@ -33,17 +71,7 @@ def exactly_once_parquet_sink(df: DataFrame, out_dir: str,
     """Start a writeStream with the idempotent overwrite-by-batch-id sink."""
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        out = (batch_df
-               .withColumn("batch_id", F.lit(batch_id))
-               .withColumn("sink_partition_id", F.spark_partition_id()))
-        path = os.path.join(out_dir, f"batch_id={batch_id}")
-        out.write.mode("overwrite").parquet(path)
-        n = batch_df.count()
-        manifest = os.path.join(out_dir, f"_manifest_batch_{batch_id}.json")
-        tmp = manifest + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump({"batch_id": batch_id, "rows": n}, f)
-        os.replace(tmp, manifest)  # atomic, like the reference's commit
+        write_batch_partition(batch_df, batch_id, out_dir)
 
     writer = (df.writeStream.foreachBatch(write_batch)
               .queryName(query_name)
@@ -57,3 +85,44 @@ def read_sink(spark, out_dir: str) -> DataFrame:
     """Read committed sink output back (S10 cleaned-readback analog)."""
     return spark.read.option("basePath", out_dir).parquet(
         os.path.join(out_dir, "batch_id=*"))
+
+
+ICEBERG_PACKAGE = "org.apache.iceberg:iceberg-spark-runtime-4.0_2.13:1.10.0"
+
+
+def iceberg_sink(df: DataFrame, table: str, checkpoint_dir: str, *,
+                 trigger_available_now: bool = True,
+                 query_name: str = "hcd-iceberg-sink") -> StreamingQuery:
+    """The at-scale exactly-once sink: Iceberg streaming append.
+
+    Recipe (requires network / pre-staged jars — NOT available in this
+    sandbox, where the import check below fails and we raise a clear error):
+
+        spark-submit --packages {ICEBERG_PACKAGE} \\
+          --conf spark.sql.extensions=org.apache.iceberg.spark.extensions\\
+.IcebergSparkSessionExtensions \\
+          --conf spark.sql.catalog.lake=org.apache.iceberg.spark.SparkCatalog \\
+          --conf spark.sql.catalog.lake.type=hadoop \\
+          --conf spark.sql.catalog.lake.warehouse=/path/to/warehouse \\
+          scripts/run_pipeline.py --sink iceberg --output lake.db.cleaned ...
+
+    Iceberg's snapshot commit gives atomic exactly-once appends (each
+    micro-batch == one snapshot, replays deduplicated via the snapshot's
+    WAL'd batch id), replacing the overwrite-by-batch-id fallback above.
+    """
+    spark = df.sparkSession
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.iceberg.spark.SparkCatalog")
+    except Exception as e:  # noqa: BLE001 - any JVM lookup failure
+        raise RuntimeError(
+            "Iceberg runtime jars are not on the Spark classpath; launch "
+            f"with --packages {ICEBERG_PACKAGE} (see iceberg_sink docstring)."
+            " Falling back to exactly_once_parquet_sink is the documented "
+            "sandbox behavior (SURVEY.md §4.2).") from e
+    writer = (df.writeStream.format("iceberg").outputMode("append")
+              .queryName(query_name)
+              .option("checkpointLocation", checkpoint_dir))
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.toTable(table)

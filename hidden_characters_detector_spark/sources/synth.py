@@ -61,7 +61,14 @@ def _mix64(x: np.ndarray) -> np.ndarray:
 
 
 def strings_to_flat_tokens(texts: pa.Array) -> tuple[np.ndarray, np.ndarray]:
-    """Arrow string array -> (flat codepoints int64, offsets int64)."""
+    """Arrow string array -> (flat codepoints int64, offsets int64).
+
+    NULL text values are treated as empty strings (explicit fill at the
+    operator boundary, so a null row can't crash the whole job with an
+    opaque ``TypeError`` from ``str.join``).
+    """
+    if texts.null_count:
+        texts = pc.fill_null(texts, "")
     joined = "".join(texts.to_pylist())  # single allocation per batch
     flat = np.frombuffer(joined.encode("utf-32-le"), dtype="<u4").astype(
         np.int64)

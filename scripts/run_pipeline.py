@@ -8,11 +8,17 @@ Usage (cluster):
         --input /path/to/token_stream --output /path/to/sink \
         --checkpoint /path/to/ck --metrics /path/to/metrics.jsonl
 
-Runs both branches of the pipeline (cleaned-sequence exactly-once sink +
-windowed detection aggregates), resumable from checkpoint.  In the sandbox
-it is exercised against a staged file stream; on a real cluster the input
-is the Iceberg token table and the sink is an Iceberg append
-(``--format iceberg`` once the runtime jars are on the classpath).
+Runs the full pipeline as ONE streaming query (clean once per micro-batch →
+exactly-once sink + counter-derived density partials; see
+``streaming.pipeline.single_pass_pipeline``), resumable from checkpoint.  In
+the sandbox it is exercised against a staged file stream; on a real cluster
+the input is the Iceberg token table and ``--sink iceberg`` switches the
+cleaned-sequence sink to Iceberg snapshot commits (requires the runtime
+jars, see ``sinks.exactly_once.iceberg_sink`` for the --packages recipe).
+
+Detection config mirrors the reference CLI (ref :969-1050): --exclude-char
+(U+XXXX / hex / literal, repeatable), --word, --no-typographic, --no-ivs,
+--detect-only.
 """
 
 from __future__ import annotations
@@ -28,6 +34,24 @@ os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", str(256 << 20))
 os.environ.setdefault("ARROW_DEFAULT_MEMORY_POOL", "system")
 
 
+def build_config(args):
+    """argparse namespace -> DetectorConfig (ref from_args, :948-963)."""
+    from hidden_characters_detector_spark.functions.kernel import (
+        DetectorConfig, parse_excluded_chars)
+
+    try:
+        excluded = parse_excluded_chars(args.exclude_char or [])
+    except ValueError as e:
+        print(f"Error: {e}", file=sys.stderr)
+        raise SystemExit(1) from e
+    return DetectorConfig(
+        clean=not args.detect_only,
+        check_typographic=not args.no_typographic,
+        check_ivs=not args.no_ivs,
+        exclude_word_chars=args.word,
+        excluded=excluded)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", required=True)
@@ -36,12 +60,26 @@ def main() -> None:
     ap.add_argument("--metrics", default=None)
     ap.add_argument("--master", default=None,
                     help="override master (default: from spark-submit)")
-    ap.add_argument("--available-now", action="store_true", default=True)
-    ap.add_argument("--watermark", default="10 minutes")
+    ap.add_argument("--available-now", default=True,
+                    action=argparse.BooleanOptionalAction,
+                    help="drain available input then stop (default); "
+                         "--no-available-now runs continuously")
     ap.add_argument("--window", default="1 minute")
-    ap.add_argument("--salt", type=int, default=16)
     ap.add_argument("--max-files-per-trigger", type=int, default=None)
+    ap.add_argument("--sink", choices=("parquet", "iceberg"),
+                    default="parquet")
+    # detection config (reference CLI parity)
+    ap.add_argument("--exclude-char", action="append", default=[],
+                    metavar="CHAR", help="U+XXXX, bare hex, or literal char "
+                    "to exclude from detection (repeatable)")
+    ap.add_argument("--word", action="store_true",
+                    help="also exclude MS-Word common chars")
+    ap.add_argument("--no-typographic", action="store_true")
+    ap.add_argument("--no-ivs", action="store_true")
+    ap.add_argument("--detect-only", action="store_true",
+                    help="report markers without cleaning (ref --clean off)")
     args = ap.parse_args()
+    cfg = build_config(args)
 
     from pyspark.sql import SparkSession
 
@@ -54,8 +92,6 @@ def main() -> None:
         b = b.master(args.master)
     spark = b.getOrCreate()
 
-    from hidden_characters_detector_spark.sinks.exactly_once import (
-        exactly_once_parquet_sink)
     from hidden_characters_detector_spark.streaming import pipeline
     from hidden_characters_detector_spark.streaming.metrics import (
         ProgressRecorder)
@@ -63,30 +99,27 @@ def main() -> None:
     rec = ProgressRecorder(args.metrics)
     spark.streams.addListener(rec)
 
-    tok = pipeline.read_token_stream(
-        spark, args.input, max_files_per_trigger=args.max_files_per_trigger)
-    cleaned = pipeline.clean_stream(tok)
-    q_sink = exactly_once_parquet_sink(
-        cleaned, os.path.join(args.output, "cleaned"),
-        os.path.join(args.checkpoint, "sink"), query_name="cleaned-sink")
+    if args.sink == "iceberg":
+        # surfaces a clear error + recipe when the jars are absent
+        from hidden_characters_detector_spark.sinks.exactly_once import (
+            iceberg_sink)
+        tok = pipeline.read_token_stream(
+            spark, args.input,
+            max_files_per_trigger=args.max_files_per_trigger)
+        q = iceberg_sink(pipeline.clean_stream(tok, cfg), args.output,
+                         os.path.join(args.checkpoint, "sink"),
+                         trigger_available_now=args.available_now,
+                         query_name="cleaned-sink")
+    else:
+        q = pipeline.single_pass_pipeline(
+            spark, args.input, args.output,
+            os.path.join(args.checkpoint, "sink"), cfg=cfg,
+            window=args.window,
+            max_files_per_trigger=args.max_files_per_trigger,
+            trigger_available_now=args.available_now,
+            query_name="cleaned-sink")
 
-    ev = pipeline.event_stream(pipeline.read_token_stream(
-        spark, args.input, max_files_per_trigger=args.max_files_per_trigger))
-    dens = pipeline.salted_density_windows(
-        ev, watermark=args.watermark, window=args.window, salt=args.salt)
-    def write_density(df, bid: int) -> None:
-        # idempotent overwrite-by-batch-id, same contract as the main sink
-        df.write.mode("overwrite").parquet(
-            os.path.join(args.output, f"density/batch_id={bid}"))
-
-    q_dens = (dens.writeStream.foreachBatch(write_density)
-              .queryName("density-windows")
-              .option("checkpointLocation",
-                      os.path.join(args.checkpoint, "dens"))
-              .trigger(availableNow=True).start())
-
-    q_sink.awaitTermination()
-    q_dens.awaitTermination()
+    q.awaitTermination()
     n = rec.total_input_rows("cleaned-sink")
     dur = sum(p.get("batchDuration", 0) for p in rec.progress
               if p.get("name") == "cleaned-sink") / 1000.0

@@ -1,13 +1,13 @@
 #!/usr/bin/env python3
-"""Streaming-mode throughput: the full two-branch pipeline over a staged
-file stream, at N and 4N cores (the north_rule's 'sustained windowed
-detection throughput' in actual Structured Streaming execution, not the
-batch analog).
+"""Streaming-mode throughput: the full pipeline over a staged file stream,
+at N and 4N cores (the north_rule's 'sustained windowed detection
+throughput' in actual Structured Streaming execution, not the batch analog).
 
-Stages the ~600k-sequence corpus as multiple stream-source files, then runs
-clean->exactly-once sink and events->salted density windows with an
-availableNow trigger; throughput = input rows / total wall time of the two
-queries (cold checkpoint each run).  Appends results to BENCH/BASELINE.md.
+Stages the corpus as multiple stream-source files, then runs the
+single-pass pipeline (ONE query: clean -> exactly-once sink +
+counter-derived density partials) with an availableNow trigger;
+throughput = input rows / wall time (cold checkpoint each run).  Appends
+results to BENCH/BASELINE.md.
 """
 
 from __future__ import annotations
@@ -77,30 +77,15 @@ def stage_stream_files(path: str) -> int:
 
 
 def run_streaming(spark, src: str, workdir: str) -> float:
-    from hidden_characters_detector_spark.sinks.exactly_once import (
-        exactly_once_parquet_sink)
     from hidden_characters_detector_spark.streaming import pipeline
 
     if os.path.exists(workdir):
         shutil.rmtree(workdir)
     t0 = time.perf_counter()
-    q1 = exactly_once_parquet_sink(
-        pipeline.clean_stream(pipeline.read_token_stream(spark, src)),
-        os.path.join(workdir, "out"), os.path.join(workdir, "ck1"),
-        query_name="bench-sink")
-    dens = pipeline.salted_density_windows(
-        pipeline.event_stream(pipeline.read_token_stream(spark, src)),
-        watermark="10 minutes", window="1 minute", salt=16)
-
-    def wb(df, bid):
-        df.write.mode("overwrite").parquet(
-            os.path.join(workdir, f"dens/batch_id={bid}"))
-
-    q2 = (dens.writeStream.foreachBatch(wb)
-          .option("checkpointLocation", os.path.join(workdir, "ck2"))
-          .trigger(availableNow=True).queryName("bench-dens").start())
-    q1.awaitTermination()
-    q2.awaitTermination()
+    q = pipeline.single_pass_pipeline(
+        spark, src, os.path.join(workdir, "out"),
+        os.path.join(workdir, "ck"), query_name="bench-pipeline")
+    q.awaitTermination()
     return time.perf_counter() - t0
 
 
@@ -138,11 +123,11 @@ def main() -> None:
     with open("BENCH/BASELINE.md", "a") as f:
         f.write(f"""
 
-## Streaming-mode throughput (two-branch pipeline, availableNow)
+## Streaming-mode throughput (single-pass pipeline, availableNow)
 
-Full Structured Streaming execution — clean -> exactly-once sink AND events
--> salted density windows, cold checkpoint per run, {nrows:,} sequences
-staged as {N_FILES} stream files:
+Full Structured Streaming execution — ONE query: clean -> exactly-once sink
++ counter-derived density partials (kernel runs once per micro-batch), cold
+checkpoint per run, {nrows:,} sequences staged as {N_FILES} stream files:
 
 | config | run times (s) | median (s) | throughput (seq/s) |
 |---|---|---|---|

@@ -381,3 +381,112 @@ def test_mid_stream_kill_and_resume(spark, tmp_path):
     final = read_sink(spark, out)
     assert final.count() == 60
     assert final.select("doc_id").distinct().count() == 60
+
+
+def test_single_pass_pipeline(spark, tmp_path):
+    """ONE query cleans each batch once: sink rows + footer manifests +
+    density partials derived from the committed counters all agree with an
+    independent batch recomputation."""
+    import json
+
+    from hidden_characters_detector_spark.operators.clean import clean_detect
+
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    os.makedirs(src)
+    now = time.time()
+    rows1 = ([_row(f"p{i}", [A, ZWSP, A], "web", _mins(i % 2))
+              for i in range(6)]
+             + [_row("pb", [QUOTE, A], "books", _mins(0.5))])
+    _write_file(spark, rows1, os.path.join(src, "f1"), now - 300)
+
+    q = pipeline.single_pass_pipeline(spark, src, out, str(tmp_path / "ck"),
+                                      max_files_per_trigger=1)
+    q.awaitTermination(120)
+
+    sink = read_sink(spark, os.path.join(out, "cleaned"))
+    assert sink.count() == 7
+    got = {r["doc_id"]: r["tokens_clean"] for r in sink.collect()}
+    assert got["p0"] == [A, A]            # ZWSP removed
+    assert got["pb"] == [ord("'"), A]     # smart quote replaced
+
+    # manifests carry footer-exact row counts (no batch recompute)
+    manifests = [f for f in os.listdir(os.path.join(out, "cleaned"))
+                 if f.startswith("_manifest")]
+    assert manifests
+    total = sum(json.load(open(os.path.join(out, "cleaned", m)))["rows"]
+                for m in manifests)
+    assert total == 7
+
+    # density partials fold to the same totals as a batch recomputation
+    dens = {(r["window_start"], r["source"]):
+            (r["n_detections"], r["n_hidden"], r["n_seq"])
+            for r in pipeline.read_density(spark, out).collect()}
+    batch = spark.read.schema(pipeline.TOKEN_STREAM_SCHEMA).parquet(src)
+    expect = {(r["ws"], r["source"]):
+              (r["nd"], r["nh"], r["ns"])
+              for r in (clean_detect(batch)
+                        .groupBy(F.window("event_time", "1 minute")
+                                 .alias("w"), "source")
+                        .agg(F.sum("n_detected").alias("nd"),
+                             F.sum("n_hidden").alias("nh"),
+                             F.count("*").alias("ns"))
+                        .select(F.col("w.start").alias("ws"), "source",
+                                "nd", "nh", "ns")).collect()}
+    assert dens == expect and len(dens) >= 3
+
+    # resume from checkpoint: only the new file is processed, idempotently
+    _write_file(spark, [_row("pz", [ZWSP], "web", _mins(9))],
+                os.path.join(src, "f2"), now - 100)
+    q2 = pipeline.single_pass_pipeline(spark, src, out,
+                                       str(tmp_path / "ck"),
+                                       max_files_per_trigger=1)
+    q2.awaitTermination(120)
+    sink2 = read_sink(spark, os.path.join(out, "cleaned"))
+    assert sink2.count() == 8
+    assert sink2.select("doc_id").distinct().count() == 8
+    dens2 = {k: v[2] for k, v in
+             {(r["window_start"], r["source"]): (r["n_detections"],
+                                                 r["n_hidden"], r["n_seq"])
+              for r in pipeline.read_density(spark, out).collect()}.items()}
+    assert dens2[(_mins(9), "web")] == 1
+
+
+def test_iceberg_sink_clear_error_without_jars(spark, tmp_path):
+    """Jar-absent sandbox: the Iceberg path fails fast with the recipe
+    instead of an opaque ClassNotFound at query start."""
+    from hidden_characters_detector_spark.sinks.exactly_once import (
+        ICEBERG_PACKAGE, iceberg_sink)
+
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    _write_file(spark, [_row("i1", [A], "web", _mins(0))],
+                os.path.join(src, "f1"), time.time() - 100)
+    tok = pipeline.read_token_stream(spark, src)
+    with pytest.raises(RuntimeError, match=ICEBERG_PACKAGE.split(":")[0]):
+        iceberg_sink(pipeline.clean_stream(tok), "lake.db.t",
+                     str(tmp_path / "ck"))
+
+
+def test_null_rows_do_not_crash_operators(spark):
+    """ADVICE: a NULL text / NULL token list must not fail the job."""
+    from hidden_characters_detector_spark.operators.clean import (
+        clean_detect, clean_documents)
+
+    docs = spark.createDataFrame(
+        [("d1", "a​b"), ("d2", None), ("d3", "")],
+        "doc_id string, text string")
+    out = {r["doc_id"]: r for r in clean_documents(docs).collect()}
+    assert out["d1"]["text_clean"] == "ab"
+    assert out["d2"]["text_clean"] == ""   # null -> empty at the boundary
+    assert out["d2"]["n_detected"] == 0
+    assert out["d3"]["text_clean"] == ""
+
+    toks = spark.createDataFrame(
+        [("t1", [A, ZWSP], 2, "web", _mins(0)),
+         ("t2", None, 0, "web", _mins(0))],
+        pipeline.TOKEN_STREAM_SCHEMA)
+    got = {r["doc_id"]: r["tokens_clean"] for r in
+           clean_detect(toks).collect()}
+    assert got["t1"] == [A]
+    assert got["t2"] == []
