@@ -154,34 +154,54 @@ def _o_stats_by_source():
 
 
 def q_detect_events(spark, sf_dir):
-    """P6 event emission: one row per MarkerReport (clean mode)."""
+    """P6 event emission: one row per MarkerReport (clean mode), incl. the
+    human-readable ``description`` string (ref :527)."""
     return document_events(_marked(spark, sf_dir), text_col="marked",
                            keep=["doc_id"]).select(
         "doc_id", F.col("idx").cast("long").alias("idx"),
-        F.col("token").cast("long").alias("token"), "marker_type")
+        F.col("token").cast("long").alias("token"), "marker_type",
+        "description")
+
+
+def _desc_lut_sql() -> str:
+    """(VALUES ...) lookup of codepoint -> reference description string."""
+    from hidden_characters_detector_spark import markers as mk
+    rows = []
+    seen = set()
+    for table in (mk.HIDDEN_DESCRIPTIONS, mk.TYPOGRAPHIC_DESCRIPTIONS):
+        for cp, d in table.items():
+            if cp not in seen:  # hidden listed first: wins, like the kernel
+                seen.add(cp)
+                rows.append(f"({cp}, {osql.q(d)})")
+    for cp in range(mk.IVS_LO, mk.IVS_HI + 1):
+        rows.append(f"({cp}, {osql.q(mk.ivs_description(cp))})")
+    return "(VALUES " + ", ".join(rows) + ") AS lut(cp, description)"
 
 
 def _o_detect_events():
     # single-line docs: idx-in-line == position in string (0-based)
     return f"""
-    SELECT doc_id, CAST(t.i - 1 AS BIGINT) AS idx,
-           CAST(unicode(substr(marked, CAST(t.i AS INTEGER), 1)) AS BIGINT)
-               AS token,
-           CASE WHEN regexp_matches(substr(marked, CAST(t.i AS INTEGER), 1),
-                                    {osql.q(osql.HIDDEN_CLASS)})
-                THEN 'Hidden'
-                WHEN regexp_matches(substr(marked, CAST(t.i AS INTEGER), 1),
-                                    {osql.q(osql.IVS_CLASS)})
-                THEN 'IdeographicVS'
-                ELSE 'Typographic' END AS marker_type
-    FROM {osql.marked_docs_sql(DUCKDB)} m,
-         unnest(range(1, length(marked) + 1)) AS t(i)
-    WHERE regexp_matches(substr(marked, CAST(t.i AS INTEGER), 1),
-                         {osql.q(osql.HIDDEN_CLASS)})
-       OR regexp_matches(substr(marked, CAST(t.i AS INTEGER), 1),
-                         {osql.q(osql.IVS_CLASS)})
-       OR regexp_matches(substr(marked, CAST(t.i AS INTEGER), 1),
-                         {osql.q(osql.TYPO_CLASS)})"""
+    WITH ev AS (
+      SELECT doc_id, CAST(t.i - 1 AS BIGINT) AS idx,
+             CAST(unicode(substr(marked, CAST(t.i AS INTEGER), 1)) AS BIGINT)
+                 AS token,
+             CASE WHEN regexp_matches(substr(marked, CAST(t.i AS INTEGER), 1),
+                                      {osql.q(osql.HIDDEN_CLASS)})
+                  THEN 'Hidden'
+                  WHEN regexp_matches(substr(marked, CAST(t.i AS INTEGER), 1),
+                                      {osql.q(osql.IVS_CLASS)})
+                  THEN 'IdeographicVS'
+                  ELSE 'Typographic' END AS marker_type
+      FROM {osql.marked_docs_sql(DUCKDB)} m,
+           unnest(range(1, length(marked) + 1)) AS t(i)
+      WHERE regexp_matches(substr(marked, CAST(t.i AS INTEGER), 1),
+                           {osql.q(osql.HIDDEN_CLASS)})
+         OR regexp_matches(substr(marked, CAST(t.i AS INTEGER), 1),
+                           {osql.q(osql.IVS_CLASS)})
+         OR regexp_matches(substr(marked, CAST(t.i AS INTEGER), 1),
+                           {osql.q(osql.TYPO_CLASS)}))
+    SELECT ev.doc_id, ev.idx, ev.token, ev.marker_type, lut.description
+    FROM ev JOIN {_desc_lut_sql()} ON ev.token = lut.cp"""
 
 
 def q_excluded_zwsp(spark, sf_dir):
@@ -586,12 +606,95 @@ def q_simhash_near_dups(spark, sf_dir):
                                    max_hamming=3)
 
 
+def _planted_embeddings(spark, sf_dir):
+    """embeddings ∪ planted near-duplicates: every 5th vector gets a sibling
+    scaled by 1.25 — positive scaling keeps every hyperplane sign, so the
+    sibling lands in the SAME sign-LSH bucket by construction (cosine is
+    exactly 1.0), making the bucketed pairwise search verifiable against an
+    exact all-pairs oracle.  Arrays are cast to double so both engines
+    compute on identical values."""
+    emb = _table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    sib = (emb.where(F.col("vec_id") % 5 == 0)
+           .select((F.col("vec_id") + 1000000).alias("vec_id"),
+                   F.transform("embedding", lambda x: x * F.lit(1.25))
+                   .alias("embedding")))
+    return emb.unionByName(sib)
+
+
 def q_embedding_near_dups(spark, sf_dir):
-    """Embedding-cosine near-dup pairs within LSH buckets."""
+    """Embedding-cosine near-dup pairs within LSH buckets, over the corpus
+    with planted scaled siblings (full oracle: exact all-pairs cosine)."""
     from hidden_characters_detector_spark.operators import similarity
-    emb = _table(spark, sf_dir, "embeddings")
-    return similarity.pairwise_cosine_in_buckets(emb, nbits=8,
-                                                 min_cosine=0.5)
+    out = similarity.pairwise_cosine_in_buckets(
+        _planted_embeddings(spark, sf_dir), nbits=12, min_cosine=0.99)
+    return out.select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
+
+
+def _o_embedding_near_dups():
+    return """
+    WITH base AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000 AS vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]), x -> x * 1.25) AS e
+      FROM embeddings WHERE vec_id % 5 = 0),
+    p AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             list_dot_product(a.e, b.e)
+             / (sqrt(list_dot_product(a.e, a.e))
+                * sqrt(list_dot_product(b.e, b.e))) AS cos
+      FROM base a, base b WHERE a.vec_id < b.vec_id)
+    SELECT id_a, id_b, round(round(cos, 6), 4) AS cosine
+    FROM p WHERE round(cos, 6) >= 0.99"""
+
+
+def _mutated_long_docs(spark, sf_dir):
+    """documents ∪ near-dup siblings for the verified-dedup query: docs of
+    ≥200 chars get a first-10-chars-dropped twin, so every qualifying pair
+    has true Jaccard ≥ ~0.9 — far above both the verify threshold (0.85)
+    and the LSH banding's miss regime, making engine output == exact
+    all-pairs oracle."""
+    docs = _table(spark, sf_dir, "documents").selectExpr(
+        "cast(doc_id as string) AS doc_id", "text")
+    mut = docs.where(F.length("text") >= 200).selectExpr(
+        "concat(doc_id, '000000') AS doc_id", "substr(text, 11) AS text")
+    return docs.unionByName(mut)
+
+
+def q_verified_near_dups(spark, sf_dir):
+    """MinHash-LSH candidates verified by EXACT k-shingle Jaccard — the
+    strongest oracle-checkable dedup signal (DuckDB computes true Jaccard
+    over all pairs with a sound length prefilter)."""
+    from hidden_characters_detector_spark.operators import dedup
+    return dedup.verified_near_dups(_mutated_long_docs(spark, sf_dir),
+                                    jaccard_threshold=0.85)
+
+
+def _o_verified_near_dups():
+    return """
+    WITH unioned AS (
+      SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id || '000000' AS doc_id, substr(text, 11) AS text
+      FROM documents WHERE length(text) >= 200),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, length(text) - 3),
+                 i -> substr(text, CAST(i AS INTEGER), 5))) AS s
+      FROM unioned),
+    p AS (
+      -- sound prefilter: jaccard <= min(|A|,|B|)/max(|A|,|B|)
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             len(list_intersect(a.s, b.s)) AS i,
+             len(a.s) AS la, len(b.s) AS lb
+      FROM sh a JOIN sh b
+        ON a.doc_id < b.doc_id
+       AND least(len(a.s), len(b.s))
+           >= 0.85 * greatest(len(a.s), len(b.s)))
+    SELECT doc_a, doc_b,
+           round(CAST(i AS DOUBLE) / (la + lb - i), 6) AS jaccard
+    FROM p WHERE CAST(i AS DOUBLE) / (la + lb - i) >= 0.85"""
 
 
 def q_fingerprints(spark, sf_dir):
@@ -611,6 +714,7 @@ _EXTRA_QUERIES = {
     "minhash_near_dups": q_minhash_near_dups,
     "simhash_near_dups": q_simhash_near_dups,
     "embedding_near_dups": q_embedding_near_dups,
+    "verified_near_dups": q_verified_near_dups,
     "fingerprints": q_fingerprints,
 }
 
@@ -620,6 +724,8 @@ _EXTRA_ORACLES = {
     "quality": _o_quality,
     "lang_id": _o_lang_id,
     "ann_topk": _o_ann_topk,
+    "embedding_near_dups": _o_embedding_near_dups,
+    "verified_near_dups": _o_verified_near_dups,
 }
 
 _BASE_QUERIES = queries

@@ -120,6 +120,30 @@ def bench_queries(spark, tok):
     }
 
 
+def bench_dedup(spark, cpus: int):
+    """Dedup hot path: vectorized minhash signatures + banded LSH pairs
+    over a replicated text corpus (replica tag appended so replicas are
+    near- but not exact duplicates of their base doc)."""
+    from pyspark.sql import functions as F
+
+    from hidden_characters_detector_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet") \
+        .select("doc_id", "text")
+    reps = spark.range(0, 30, 1, numPartitions=2 * cpus)
+    corpus = (reps.crossJoin(F.broadcast(docs))
+              .selectExpr("concat(doc_id, '_', id) AS doc_id",
+                          "concat(id, '_', text) AS text"))
+
+    def q_dedup_minhash():
+        # signature stage only: the per-token vectorized kernel cost
+        sig = dedup.minhash_signatures(corpus)
+        return sig.agg(F.count("*"),
+                       F.sum(F.element_at("minhash", 1))).collect()
+
+    return {"dedup_minhash": q_dedup_minhash}
+
+
 def main() -> None:
     spark = build_spark(CPUS)
     try:
@@ -127,6 +151,7 @@ def main() -> None:
         tok = tok.localCheckpoint()  # materialize once; bench the engine,
         # not the synthetic generator
         qs = bench_queries(spark, tok)
+        qs.update(bench_dedup(spark, CPUS))
         for _ in range(WARMUP_ROUNDS):  # fault worker heaps, off the clock
             for fn in qs.values():
                 fn()

@@ -87,6 +87,27 @@ def _build_luts():
 
 
 CLASS_LUT, REPL_LEN_LUT, REPL_IDX_LUT, REPL_FLAT = _build_luts()
+
+
+def _build_desc_lut():
+    """codepoint -> description-string index (0 = none); the string pool is
+    tiny (~650 entries) so events gather descriptions with one int LUT +
+    one Arrow ``take`` — no per-row Python, no string LUT of 0x110000."""
+    descs: list[str | None] = [None]
+    idx = np.zeros(_UNICODE_MAX, dtype=np.int32)
+    # typographic first, hidden second: hidden wins, like CLASS_LUT
+    for table in (markers.TYPOGRAPHIC_DESCRIPTIONS,
+                  markers.HIDDEN_DESCRIPTIONS):
+        for cp, d in table.items():
+            idx[cp] = len(descs)
+            descs.append(d)
+    for cp in range(markers.IVS_LO, markers.IVS_HI + 1):
+        idx[cp] = len(descs)
+        descs.append(markers.ivs_description(cp))
+    return idx, descs
+
+
+DESC_IDX_LUT, DESC_STRINGS = _build_desc_lut()
 EMOJI_BASE_ARR = np.fromiter(sorted(markers.EMOJI_VS16_BASES), dtype=np.int64,
                              count=len(markers.EMOJI_VS16_BASES))
 

@@ -105,7 +105,8 @@ def clean_detect(df: DataFrame, cfg: DetectorConfig = FULL_CLEAN) -> DataFrame:
 
 
 EVENT_SCHEMA_SUFFIX = ("line_no int, idx int, token int, marker_type string, "
-                       "action string, replacement array<int>")
+                       "description string, action string, "
+                       "replacement array<int>")
 
 
 def event_schema(df: DataFrame, keep: list[str] | None = None) -> str:
@@ -132,6 +133,7 @@ def detect_events(df: DataFrame, cfg: DetectorConfig = FULL_CLEAN, *,
     act_lut = pa.array(
         [None] + [kernel.ACTION_NAMES[i] for i in (1, 2, 3, 4, 5)],
         type=pa.string())
+    desc_lut = pa.array(kernel.DESC_STRINGS, type=pa.string())
     from .. import markers as mk
 
     def _replacements(res) -> pa.ListArray:
@@ -168,11 +170,13 @@ def detect_events(df: DataFrame, cfg: DetectorConfig = FULL_CLEAN, *,
                 pa.array(res.ev_idx, type=pa.int32()),
                 pa.array(res.ev_token, type=pa.int32()),
                 type_lut.take(pa.array(res.ev_type.astype(np.int64))),
+                desc_lut.take(pa.array(
+                    kernel.DESC_IDX_LUT[res.ev_token].astype(np.int64))),
                 act_lut.take(pa.array(res.ev_action.astype(np.int64))),
                 _replacements(res),
             ]
             names = passthrough + ["line_no", "idx", "token", "marker_type",
-                                   "action", "replacement"]
+                                   "description", "action", "replacement"]
             yield pa.RecordBatch.from_arrays(arrays, names=names)
 
     return df.mapInArrow(run, event_schema(df, keep))
@@ -245,6 +249,7 @@ def document_events(df: DataFrame, text_col: str = "text",
     act_lut = pa.array(
         [None] + [kernel.ACTION_NAMES[i] for i in (1, 2, 3, 4, 5)],
         type=pa.string())
+    desc_lut = pa.array(kernel.DESC_STRINGS, type=pa.string())
     from .. import markers as mk
 
     def _repls(res) -> pa.ListArray:
@@ -278,11 +283,14 @@ def document_events(df: DataFrame, text_col: str = "text",
                 pa.array(res.ev_idx, type=pa.int32()),
                 pa.array(res.ev_token, type=pa.int32()),
                 type_lut.take(pa.array(res.ev_type.astype(np.int64))),
+                desc_lut.take(pa.array(
+                    kernel.DESC_IDX_LUT[res.ev_token].astype(np.int64))),
                 act_lut.take(pa.array(res.ev_action.astype(np.int64))),
                 _repls(res),
             ]
             yield pa.RecordBatch.from_arrays(
                 arrays, names=keep + ["line_no", "idx", "token",
-                                      "marker_type", "action", "replacement"])
+                                      "marker_type", "description",
+                                      "action", "replacement"])
 
     return df.mapInArrow(run, ddl)

@@ -5,13 +5,19 @@ Exact, MinHash+LSH, SimHash, and n-gram Jaccard near-dup detection over the
 
 * exact dedup is a hash-groupBy — one shuffle on a 16-byte digest, with
   map-side distinct;
-* MinHash signatures are computed vectorized per Arrow batch (numpy
-  universal hashing over shingle hashes), then LSH *bands* are exploded and
-  shuffled once on (band, bucket) — candidate pairs only ever meet inside a
-  bucket, never via a cross join;
+* shingle hashing is ONE vectorized pass over the whole Arrow batch (the
+  batch's texts are flattened to a single codepoint array + offsets, the
+  rolling hash runs over the flat array, per-doc reductions use
+  ``np.minimum.reduceat`` / ``np.add.reduceat``) — no per-doc Python loop
+  anywhere in the signature hot path;
+* LSH *bands* are exploded and shuffled once on (band, bucket) carrying
+  only ``(id, band, band_hash)`` — signatures are re-attached AFTER the
+  candidate pairs are deduplicated, so the big band/bucket shuffle moves
+  ~8× fewer bytes than shipping the 64-value signatures through it;
 * SimHash reduces each doc to a 64-bit fingerprint; near-dup candidates are
   grouped by fingerprint bands (4x16-bit tables) — again no cross join;
-* verification (true Jaccard) happens only on bucket-collision candidates.
+* verification (true Jaccard over shingle sets) happens only on
+  bucket-collision candidates — pair-local by construction.
 """
 
 from __future__ import annotations
@@ -24,17 +30,21 @@ import pyarrow as pa
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..sources.synth import strings_to_flat_tokens
+
 _M61 = np.uint64((1 << 61) - 1)
+_HASH_BASE = np.uint64(1099511628211)
+_U64_MAX = np.iinfo(np.uint64).max
 
 
 def _shingle_hashes(texts: list[str], k: int = 5) -> list[np.ndarray]:
-    """Per-doc arrays of 64-bit k-shingle hashes (character shingles).
+    """Per-doc arrays of DISTINCT 64-bit k-shingle hashes (char shingles).
 
-    Rolling polynomial hash over codepoints, vectorized per doc via numpy
-    stride tricks on the codepoint array.
+    Reference implementation (per-doc); the batch hot path uses
+    :func:`_flat_shingle_hashes` — tests assert their parity.  Still used
+    by :func:`ngram_jaccard`, which is inherently pair-local.
     """
     out = []
-    base = np.uint64(1099511628211)
     for t in texts:
         cps = np.frombuffer(t.encode("utf-32-le"), dtype="<u4").astype(
             np.uint64)
@@ -44,19 +54,74 @@ def _shingle_hashes(texts: list[str], k: int = 5) -> list[np.ndarray]:
         n = cps.size - k + 1
         acc = np.zeros(n, dtype=np.uint64)
         for j in range(k):  # k is a small constant (5)
-            acc = acc * base + cps[j:j + n]
+            acc = acc * _HASH_BASE + cps[j:j + n]
         out.append(np.unique(acc))
     return out
 
 
-def _minhash_sig(hashes: np.ndarray, a: np.ndarray, b: np.ndarray
-                 ) -> np.ndarray:
-    """num_perm minhash values via universal hashing ((a*x+b) mod p)."""
-    if hashes.size == 0:
-        return np.full(a.shape[0], np.iinfo(np.uint64).max, dtype=np.uint64)
-    x = hashes[None, :]
-    v = (a[:, None] * x + b[:, None]) % _M61
-    return v.min(axis=1)
+def _flat_shingle_hashes(texts: pa.Array, k: int
+                         ) -> tuple[np.ndarray, np.ndarray]:
+    """All docs' k-shingle rolling hashes in ONE vectorized pass.
+
+    Returns (flat hashes uint64, offsets int64): row i's shingles are
+    ``hashes[offsets[i]:offsets[i+1]]``, duplicates KEPT (minhash is
+    duplicate-insensitive; simhash dedups separately).  The rolling hash is
+    computed over the whole batch's concatenated codepoints; window starts
+    that would cross a document boundary are simply not gathered.
+    """
+    flat, offsets = strings_to_flat_tokens(texts)
+    cps = flat.astype(np.uint64)
+    n = cps.size
+    lens = np.diff(offsets)
+    out_lens = np.maximum(lens - k + 1, 0)
+    out_offsets = np.concatenate([[0], np.cumsum(out_lens, dtype=np.int64)])
+    total = int(out_offsets[-1])
+    if total == 0:
+        return np.zeros(0, dtype=np.uint64), out_offsets
+    m = n - k + 1
+    acc = np.zeros(m, dtype=np.uint64)
+    for j in range(k):  # k is a small constant
+        acc = acc * _HASH_BASE + cps[j:j + m]
+    # gather only in-document window starts
+    pos_in_doc = np.arange(total, dtype=np.int64) - np.repeat(
+        out_offsets[:-1], out_lens)
+    sel = pos_in_doc + np.repeat(offsets[:-1], out_lens)
+    return acc[sel], out_offsets
+
+
+def _unique_per_doc(hashes: np.ndarray, offsets: np.ndarray
+                    ) -> tuple[np.ndarray, np.ndarray]:
+    """Segment-wise distinct: (hashes, offsets) -> deduped per doc."""
+    nrows = offsets.shape[0] - 1
+    lens = np.diff(offsets)
+    row = np.repeat(np.arange(nrows, dtype=np.int64), lens)
+    order = np.lexsort((hashes, row))
+    h, r = hashes[order], row[order]
+    keep = np.ones(h.size, dtype=bool)
+    if h.size:
+        keep[1:] = (h[1:] != h[:-1]) | (r[1:] != r[:-1])
+    uh, ur = h[keep], r[keep]
+    new_offsets = np.concatenate(
+        [[0], np.cumsum(np.bincount(ur, minlength=nrows), dtype=np.int64)])
+    return uh, new_offsets
+
+
+def _minhash_batch(texts: pa.Array, a: np.ndarray, b: np.ndarray,
+                   k: int) -> np.ndarray:
+    """(nrows, num_perm) minhash matrix, fully vectorized: one rolling-hash
+    pass over the flat batch, then per-permutation universal hashing with a
+    segmented ``np.minimum.reduceat`` (duplicates are harmless under min)."""
+    hashes, offsets = _flat_shingle_hashes(texts, k)
+    nrows = offsets.shape[0] - 1
+    num_perm = a.shape[0]
+    sigs = np.full((num_perm, nrows), _U64_MAX, dtype=np.uint64)
+    nonempty = np.diff(offsets) > 0
+    if hashes.size:
+        starts = offsets[:-1][nonempty]
+        for i in range(num_perm):  # num_perm is a small constant (64)
+            v = (a[i] * hashes + b[i]) % _M61
+            sigs[i, nonempty] = np.minimum.reduceat(v, starts)
+    return sigs.T
 
 
 def minhash_signatures(df: DataFrame, text_col: str = "text", *,
@@ -72,11 +137,7 @@ def minhash_signatures(df: DataFrame, text_col: str = "text", *,
 
     def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
-            texts = batch.column(text_col).to_pylist()
-            sigs = np.stack([
-                _minhash_sig(h, a, b)
-                for h in _shingle_hashes(texts, shingle_k)
-            ]) if texts else np.zeros((0, num_perm), dtype=np.uint64)
+            sigs = _minhash_batch(batch.column(text_col), a, b, shingle_k)
             sig_arr = pa.FixedSizeListArray.from_arrays(
                 pa.array(sigs.astype(np.int64).ravel(), type=pa.int64()),
                 num_perm).cast(pa.list_(pa.int64()))
@@ -87,22 +148,28 @@ def minhash_signatures(df: DataFrame, text_col: str = "text", *,
     return df.mapInArrow(run, ddl)
 
 
-def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id", *,
-                      num_perm: int = 64, bands: int = 16,
-                      text_col: str = "text",
-                      jaccard_threshold: float = 0.7,
-                      seed: int = 42) -> DataFrame:
-    """Near-duplicate candidate pairs via banded MinHash LSH + verification.
+def _lsh_candidates(df: DataFrame, id_col: str, text_col: str, *,
+                    num_perm: int, bands: int, seed: int,
+                    materialize: bool = True
+                    ) -> tuple[DataFrame, DataFrame]:
+    """Shared LSH core -> (candidate pairs, signature table).
 
-    rows per band per doc -> groupBy (band, band_hash) buckets -> pairs
-    within buckets -> verified by estimated Jaccard (signature agreement).
-    Returns (doc_a, doc_b, est_jaccard), doc_a < doc_b, deduplicated.
+    The band/bucket self-join carries only ``(id, band, band_hash)`` — the
+    64-value signatures stay out of the big shuffle (re-attach them after
+    pair dedup if needed), moving ~8× fewer bytes than shipping signatures
+    through every band row.  ``materialize`` eagerly localCheckpoints the
+    signature table so the shingle/minhash kernel runs once (at production
+    scale the signature table is written out once and reused — this is the
+    single-job analog).
     """
     rows_per_band = num_perm // bands
     sig = minhash_signatures(df.select(id_col, text_col), text_col,
-                             num_perm=num_perm, seed=seed)
+                             num_perm=num_perm, seed=seed) \
+        .select(id_col, "minhash")
+    if materialize:
+        sig = sig.localCheckpoint()
     banded = sig.select(
-        id_col, "minhash",
+        id_col,
         F.posexplode(F.transform(
             F.sequence(F.lit(0), F.lit(bands - 1)),
             lambda i: F.hash(F.slice(
@@ -115,15 +182,35 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id", *,
                       & (F.col("l.band_hash") == F.col("r.band_hash"))
                       & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
             .select(F.col(f"l.{id_col}").alias("doc_a"),
-                    F.col(f"r.{id_col}").alias("doc_b"),
-                    F.col("l.minhash").alias("mh_a"),
-                    F.col("r.minhash").alias("mh_b"))
+                    F.col(f"r.{id_col}").alias("doc_b"))
             .dropDuplicates(["doc_a", "doc_b"]))
+    return cand, sig
+
+
+def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id", *,
+                      num_perm: int = 64, bands: int = 16,
+                      text_col: str = "text",
+                      jaccard_threshold: float = 0.7,
+                      seed: int = 42,
+                      materialize: bool = True) -> DataFrame:
+    """Near-duplicate pairs via banded MinHash LSH, filtered by the
+    signature-agreement Jaccard estimate.
+
+    Returns (doc_a, doc_b, est_jaccard), doc_a < doc_b, deduplicated.
+    """
+    cand, sig = _lsh_candidates(df, id_col, text_col, num_perm=num_perm,
+                                bands=bands, seed=seed,
+                                materialize=materialize)
+    sa = sig.select(F.col(id_col).alias("doc_a"),
+                    F.col("minhash").alias("mh_a"))
+    sb = sig.select(F.col(id_col).alias("doc_b"),
+                    F.col("minhash").alias("mh_b"))
     est = (F.size(F.filter(F.zip_with("mh_a", "mh_b",
                                       lambda x, y: x == y),
                            lambda z: z))
            / F.lit(float(num_perm)))
-    return (cand.withColumn("est_jaccard", est)
+    return (cand.join(sa, "doc_a").join(sb, "doc_b")
+            .withColumn("est_jaccard", est)
             .where(F.col("est_jaccard") >= jaccard_threshold)
             .select("doc_a", "doc_b",
                     F.round("est_jaccard", 4).alias("est_jaccard")))
@@ -131,24 +218,33 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id", *,
 
 def simhash_fingerprints(df: DataFrame, text_col: str = "text", *,
                          shingle_k: int = 4, seed: int = 42) -> DataFrame:
-    """Add ``simhash: bigint`` — 64-bit weighted-majority fingerprint."""
+    """Add ``simhash: bigint`` — 64-bit weighted-majority fingerprint.
+
+    Vectorized: one flat shingle pass, segment-wise distinct, then 64
+    per-bit ``np.add.reduceat`` majority votes — no per-doc Python."""
     keep = [f.name for f in df.schema.fields]
     ddl = ", ".join([f"{f.name} {f.dataType.simpleString()}"
                      for f in df.schema.fields] + ["simhash bigint"])
 
     def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
-            texts = batch.column(text_col).to_pylist()
-            fps = np.zeros(len(texts), dtype=np.uint64)
-            for i, h in enumerate(_shingle_hashes(texts, shingle_k)):
-                if h.size == 0:
-                    continue
-                bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
-                        & np.uint64(1))
-                counts = bits.sum(axis=0)
-                maj = (counts * 2 > h.size).astype(np.uint64)
-                fps[i] = (maj << np.arange(64, dtype=np.uint64)).sum(
-                    dtype=np.uint64)
+            raw, off = _flat_shingle_hashes(batch.column(text_col),
+                                            shingle_k)
+            uh, offsets = _unique_per_doc(raw, off)
+            nrows = offsets.shape[0] - 1
+            lens = np.diff(offsets)
+            nonempty = lens > 0
+            fps = np.zeros(nrows, dtype=np.uint64)
+            if uh.size:
+                starts = offsets[:-1][nonempty]
+                seg_lens = lens[nonempty].astype(np.uint64)
+                maj_fp = np.zeros(seg_lens.shape[0], dtype=np.uint64)
+                for bit in range(64):
+                    bits = (uh >> np.uint64(bit)) & np.uint64(1)
+                    cnt = np.add.reduceat(bits, starts)
+                    maj_fp |= (cnt * np.uint64(2) > seg_lens).astype(
+                        np.uint64) << np.uint64(bit)
+                fps[nonempty] = maj_fp
             yield pa.RecordBatch.from_arrays(
                 [batch.column(c) for c in keep]
                 + [pa.array(fps.astype(np.int64), type=pa.int64())],
@@ -208,7 +304,8 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id",
 
 def ngram_jaccard(df_pairs: DataFrame, *, k: int = 5) -> DataFrame:
     """True Jaccard over k-shingle sets for candidate pairs
-    (columns text_a, text_b appended -> jaccard double)."""
+    (columns text_a, text_b appended -> jaccard double).  Pair-local by
+    construction: runs only on LSH bucket-collision candidates."""
     keep = [f.name for f in df_pairs.schema.fields]
     ddl = ", ".join([f"{f.name} {f.dataType.simpleString()}"
                      for f in df_pairs.schema.fields] + ["jaccard double"])
@@ -227,3 +324,29 @@ def ngram_jaccard(df_pairs: DataFrame, *, k: int = 5) -> DataFrame:
                 names=keep + ["jaccard"])
 
     return df_pairs.mapInArrow(run, ddl)
+
+
+def verified_near_dups(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", *, shingle_k: int = 5,
+                       jaccard_threshold: float = 0.85,
+                       num_perm: int = 64, bands: int = 16,
+                       seed: int = 42) -> DataFrame:
+    """MinHash-LSH candidates verified by EXACT k-shingle Jaccard.
+
+    The LSH stage prunes the pair space (no est-Jaccard filter — every
+    bucket collision goes to verification); the verify stage computes the
+    true Jaccard pair-locally and keeps pairs ≥ ``jaccard_threshold``.
+    Output: (doc_a, doc_b, jaccard), doc_a < doc_b.
+    """
+    cand, _ = _lsh_candidates(df, id_col, text_col, num_perm=num_perm,
+                              bands=bands, seed=seed)
+    texts = df.select(id_col, text_col)
+    pairs = (cand
+             .join(texts.withColumnRenamed(id_col, "doc_a")
+                   .withColumnRenamed(text_col, "text_a"), "doc_a")
+             .join(texts.withColumnRenamed(id_col, "doc_b")
+                   .withColumnRenamed(text_col, "text_b"), "doc_b"))
+    return (ngram_jaccard(pairs, k=shingle_k)
+            .where(F.col("jaccard") >= jaccard_threshold)
+            .select("doc_a", "doc_b",
+                    F.round("jaccard", 6).alias("jaccard")))

@@ -90,24 +90,52 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def fingerprints(df: DataFrame, text_col: str = "text",
-                 id_col: str = "doc_id") -> DataFrame:
-    """Stable 64-bit-ish content fingerprints, JVM-side:
+                 id_col: str = "doc_id", *, window: int = 32) -> DataFrame:
+    """Stable 64-bit-ish content fingerprints:
 
-    * ``fp_xxh64`` — whole-content xxhash64;
+    * ``fp_xxh64`` — whole-content xxhash64 (JVM, one O(n) pass);
     * ``fp_prefix`` / ``fp_suffix`` — boundary-region hashes (cheap
       near-boilerplate grouping);
-    * ``fp_shingle_min`` — min over hashes of every 32-char window (stride
-      1, winnowing-style), a 1-perm minhash: robust to insertions/edits
-      anywhere outside the minimal window.
+    * ``fp_shingle_min`` — min over rolling hashes of every ``window``-char
+      window (stride 1, winnowing-style), a 1-perm minhash robust to edits
+      outside the minimal window.  Computed in ONE vectorized Arrow pass
+      (flat rolling hash + per-doc ``np.minimum.reduceat``): O(n) per doc.
+      A JVM ``substring``-per-window expression is O(n²) on long docs —
+      ``UTF8String.substring`` scans to the char offset, so a 1 MB doc
+      costs ~10¹¹ byte reads (measured: minutes per row) — and a
+      materialized hash array costs 8·n bytes per row; the kernel path has
+      neither problem.  Docs shorter than ``window`` fall back to
+      whole-content xxhash64 via ``coalesce``.
     """
+    import pyarrow as pa
+    import numpy as np
+
+    from .dedup import _flat_shingle_hashes
+
+    slim = df.select(id_col, text_col)
+    ddl = ", ".join([f"{f.name} {f.dataType.simpleString()}"
+                     for f in slim.schema.fields] + ["_fp_min bigint"])
+    names = [f.name for f in slim.schema.fields]
+
+    def run(batches):
+        for batch in batches:
+            h, off = _flat_shingle_hashes(batch.column(text_col), window)
+            lens = np.diff(off)
+            ne = lens > 0
+            vals = np.zeros(lens.shape[0], dtype=np.uint64)
+            if h.size:
+                vals[ne] = np.minimum.reduceat(h, off[:-1][ne])
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(c) for c in names]
+                + [pa.array(vals.astype(np.int64), type=pa.int64(),
+                            mask=~ne)],
+                names=names + ["_fp_min"])
+
+    inner = slim.mapInArrow(run, ddl)
     c = F.col(text_col)
-    window_hashes = F.transform(
-        F.sequence(F.lit(0), F.greatest(
-            F.length(c) - 32, F.lit(0)).cast("int")),
-        lambda i: F.xxhash64(F.substring(c, (i + 1).cast("int"), 32)))
-    return (df.select(
+    return inner.select(
         id_col,
         F.xxhash64(c).alias("fp_xxh64"),
         F.xxhash64(F.substring(c, 1, 64)).alias("fp_prefix"),
         F.xxhash64(F.substring(c, -64, 64)).alias("fp_suffix"),
-        F.array_min(window_hashes).alias("fp_shingle_min")))
+        F.coalesce("_fp_min", F.xxhash64(c)).alias("fp_shingle_min"))

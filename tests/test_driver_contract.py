@@ -64,6 +64,16 @@ def test_query_matches_oracle(spark, ddb, name):
     assert srows == orows
 
 
+def test_fixture_single_line_assumption(ddb):
+    """The clean/count oracles treat documents.text as single-line (per-doc
+    == per-line); fail fast if a fixture ever embeds a newline so the
+    assumption can't silently rot (the multiline path is exercised
+    separately by line_reports' explicit newline injection)."""
+    n = ddb.sql("SELECT count(*) FROM documents "
+                "WHERE text LIKE '%' || chr(10) || '%'").fetchone()[0]
+    assert n == 0
+
+
 def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     rows = df.collect()

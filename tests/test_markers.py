@@ -55,3 +55,34 @@ def test_hidden_beats_typographic_overlap():
     assert 0x00A0 in markers.HIDDEN_CODEPOINTS
     assert 0x00A0 in markers.REPLACEMENT_MAP
     assert 0x00A0 not in markers.LIVE_REPLACEMENTS
+
+
+def test_hidden_descriptions_match(refmod):
+    assert markers.HIDDEN_DESCRIPTIONS == {
+        ord(c): d for c, d in refmod.HIDDEN_MARKERS.items()}
+
+
+def test_typographic_descriptions_match(refmod):
+    assert markers.TYPOGRAPHIC_DESCRIPTIONS == {
+        ord(c): d for c, d in refmod.TYPOGRAPHIC_MARKERS.items()}
+
+
+def test_ivs_descriptions_match(refmod):
+    for c, d in refmod.IDEOGRAPHIC_VS_MARKERS.items():
+        assert markers.ivs_description(ord(c)) == d
+
+
+def test_desc_lut_covers_every_marker():
+    from hidden_characters_detector_spark.functions import kernel
+    import numpy as np
+    cps = (sorted(markers.HIDDEN_CODEPOINTS)
+           + sorted(markers.TYPOGRAPHIC_CODEPOINTS)
+           + [markers.IVS_LO, markers.IVS_HI])
+    idx = kernel.DESC_IDX_LUT[np.asarray(cps)]
+    assert (idx > 0).all()
+    assert kernel.DESC_STRINGS[kernel.DESC_IDX_LUT[0x200B]] \
+        == markers.HIDDEN_DESCRIPTIONS[0x200B]
+    assert kernel.DESC_STRINGS[kernel.DESC_IDX_LUT[0x2019]] \
+        == markers.TYPOGRAPHIC_DESCRIPTIONS[0x2019]
+    # non-markers map to the null slot
+    assert kernel.DESC_IDX_LUT[ord("a")] == 0

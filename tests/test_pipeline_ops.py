@@ -183,3 +183,20 @@ def test_multimodal_plumbing(spark, docs):
         assert r["count"] == (meta[r["doc_id"]] - 1) // 24 + 1
     audio = multimodal.resample_audio(media, deterministic_fake=True)
     assert dict(audio.dtypes)["audio_features"] == "array<float>"
+
+
+def test_fingerprints_long_doc_bounded(spark):
+    """A 1 MB doc fingerprints without materializing an O(n) hash array
+    (incremental F.aggregate fold over strided window starts), and the
+    result is deterministic."""
+    big = "spark arrow parquet shuffle " * 37450  # ~1.05 MB
+    df = spark.createDataFrame([("big1", big), ("big2", big + "tail")],
+                               "doc_id string, text string")
+    out1 = {r["doc_id"]: tuple(r) for r in
+            text_analysis.fingerprints(df).collect()}
+    out2 = {r["doc_id"]: tuple(r) for r in
+            text_analysis.fingerprints(df.repartition(3)).collect()}
+    assert out1 == out2
+    assert out1["big1"][1] != out1["big2"][1]       # fp_xxh64 differs
+    # identical strided prefix windows dominate the min
+    assert out1["big1"][4] == out1["big2"][4]       # fp_shingle_min equal
