@@ -84,8 +84,12 @@ def bench_queries(spark, tok):
             F.sum(F.col("had_marker").cast("long"))).collect()
 
     def q_events_by_type():
-        # keep=[] prunes the per-event passthrough fan-out entirely
-        return (detect_events(tok, FULL_CLEAN, keep=[])
+        # keep=[] prunes the per-event passthrough fan-out entirely;
+        # event_cols prunes the unused event payload (idx/description/
+        # replacement) at the operator boundary — mapInArrow blocks
+        # Catalyst pruning, so projection must be explicit
+        return (detect_events(tok, FULL_CLEAN, keep=[],
+                              event_cols=["token", "marker_type", "action"])
                 .groupBy("marker_type", "action")
                 .agg(F.count("*"), F.sum("token")).collect())
 
@@ -138,8 +142,10 @@ def bench_dedup(spark, cpus: int):
     def q_dedup_minhash():
         # signature stage only: the per-token vectorized kernel cost
         sig = dedup.minhash_signatures(corpus)
+        # min/count, not sum: minhash values are ~2^61, a 60k-row sum
+        # overflows long under ANSI mode
         return sig.agg(F.count("*"),
-                       F.sum(F.element_at("minhash", 1))).collect()
+                       F.min(F.element_at("minhash", 1))).collect()
 
     return {"dedup_minhash": q_dedup_minhash}
 

@@ -104,29 +104,46 @@ def clean_detect(df: DataFrame, cfg: DetectorConfig = FULL_CLEAN) -> DataFrame:
     return df.mapInArrow(run, clean_schema(df))
 
 
-EVENT_SCHEMA_SUFFIX = ("line_no int, idx int, token int, marker_type string, "
-                       "description string, action string, "
-                       "replacement array<int>")
+EVENT_COL_TYPES = (("line_no", "int"), ("idx", "int"), ("token", "int"),
+                   ("marker_type", "string"), ("description", "string"),
+                   ("action", "string"), ("replacement", "array<int>"))
+EVENT_SCHEMA_SUFFIX = ", ".join(f"{n} {t}" for n, t in EVENT_COL_TYPES)
 
 
-def event_schema(df: DataFrame, keep: list[str] | None = None) -> str:
+def _event_cols(event_cols: list[str] | None) -> list[str]:
+    names = [n for n, _ in EVENT_COL_TYPES]
+    if event_cols is None:
+        return names
+    unknown = set(event_cols) - set(names)
+    if unknown:
+        raise ValueError(f"unknown event columns: {sorted(unknown)}")
+    return [n for n in names if n in event_cols]
+
+
+def event_schema(df: DataFrame, keep: list[str] | None = None,
+                 event_cols: list[str] | None = None) -> str:
     cols = [f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
             if f.name != "tokens" and (keep is None or f.name in keep)]
-    return ", ".join(cols + [EVENT_SCHEMA_SUFFIX])
+    want = set(_event_cols(event_cols))
+    return ", ".join(cols + [f"{n} {t}" for n, t in EVENT_COL_TYPES
+                             if n in want])
 
 
 def detect_events(df: DataFrame, cfg: DetectorConfig = FULL_CLEAN, *,
-                  keep: list[str] | None = None) -> DataFrame:
+                  keep: list[str] | None = None,
+                  event_cols: list[str] | None = None) -> DataFrame:
     """One output row per MarkerReport; passthrough columns fanned out.
 
-    ``keep`` prunes the passthrough columns — mapInArrow blocks Catalyst
-    column pruning, so dropping unused columns here avoids fanning them out
-    per event.  Replacement column carries the applied replacement
-    codepoints (empty for removals, null when no replacement applied —
-    mirrors ref :532 Optional).
+    ``keep`` prunes the passthrough columns and ``event_cols`` the event
+    payload columns — mapInArrow blocks Catalyst column pruning, so
+    projection must be pushed to the operator boundary (e.g. a count-by-type
+    aggregate doesn't need the description strings materialized per event).
+    Replacement column carries the applied replacement codepoints (empty for
+    removals, null when no replacement applied — mirrors ref :532 Optional).
     """
     passthrough = [f.name for f in df.schema.fields
                    if f.name != "tokens" and (keep is None or f.name in keep)]
+    ev_names = _event_cols(event_cols)
     # code -> name lookup arrays, applied with vectorized Arrow `take`
     type_lut = pa.array([None] + [kernel.TYPE_NAMES[i] for i in (1, 2, 3)],
                         type=pa.string())
@@ -165,21 +182,23 @@ def detect_events(df: DataFrame, cfg: DetectorConfig = FULL_CLEAN, *,
             row_idx = np.repeat(np.arange(len(counts)), counts)
             take = pa.array(row_idx, type=pa.int64())
             arrays = [batch.column(c).take(take) for c in passthrough]
-            arrays += [
-                pa.array(res.ev_line_no, type=pa.int32()),
-                pa.array(res.ev_idx, type=pa.int32()),
-                pa.array(res.ev_token, type=pa.int32()),
-                type_lut.take(pa.array(res.ev_type.astype(np.int64))),
-                desc_lut.take(pa.array(
+            builders = {
+                "line_no": lambda: pa.array(res.ev_line_no, type=pa.int32()),
+                "idx": lambda: pa.array(res.ev_idx, type=pa.int32()),
+                "token": lambda: pa.array(res.ev_token, type=pa.int32()),
+                "marker_type": lambda: type_lut.take(
+                    pa.array(res.ev_type.astype(np.int64))),
+                "description": lambda: desc_lut.take(pa.array(
                     kernel.DESC_IDX_LUT[res.ev_token].astype(np.int64))),
-                act_lut.take(pa.array(res.ev_action.astype(np.int64))),
-                _replacements(res),
-            ]
-            names = passthrough + ["line_no", "idx", "token", "marker_type",
-                                   "description", "action", "replacement"]
-            yield pa.RecordBatch.from_arrays(arrays, names=names)
+                "action": lambda: act_lut.take(
+                    pa.array(res.ev_action.astype(np.int64))),
+                "replacement": lambda: _replacements(res),
+            }
+            arrays += [builders[n]() for n in ev_names]
+            yield pa.RecordBatch.from_arrays(
+                arrays, names=passthrough + ev_names)
 
-    return df.mapInArrow(run, event_schema(df, keep))
+    return df.mapInArrow(run, event_schema(df, keep, event_cols))
 
 
 def clean_documents(df: DataFrame, text_col: str = "text",
@@ -234,16 +253,20 @@ def clean_documents(df: DataFrame, text_col: str = "text",
 
 def document_events(df: DataFrame, text_col: str = "text",
                     cfg: DetectorConfig = FULL_CLEAN, *,
-                    keep: list[str] | None = None) -> DataFrame:
+                    keep: list[str] | None = None,
+                    event_cols: list[str] | None = None) -> DataFrame:
     """FUSED text-corpus event emitter: string -> tokens -> events in one
     Arrow pass (vs tokenize → detect_events)."""
     from ..sources.synth import strings_to_flat_tokens
 
     keep = [f.name for f in df.schema.fields if f.name != text_col] \
         if keep is None else keep
+    ev_names = _event_cols(event_cols)
+    want = set(ev_names)
     kept_ddl = [f"{f.name} {f.dataType.simpleString()}"
                 for f in df.schema.fields if f.name in keep]
-    ddl = ", ".join(kept_ddl + [EVENT_SCHEMA_SUFFIX])
+    ddl = ", ".join(kept_ddl + [f"{n} {t}" for n, t in EVENT_COL_TYPES
+                                if n in want])
     type_lut = pa.array([None] + [kernel.TYPE_NAMES[i] for i in (1, 2, 3)],
                         type=pa.string())
     act_lut = pa.array(
@@ -278,19 +301,20 @@ def document_events(df: DataFrame, text_col: str = "text",
             counts = np.diff(res.ev_offsets)
             take = pa.array(np.repeat(np.arange(len(counts)), counts),
                             type=pa.int64())
-            arrays = [batch.column(c).take(take) for c in keep] + [
-                pa.array(res.ev_line_no, type=pa.int32()),
-                pa.array(res.ev_idx, type=pa.int32()),
-                pa.array(res.ev_token, type=pa.int32()),
-                type_lut.take(pa.array(res.ev_type.astype(np.int64))),
-                desc_lut.take(pa.array(
+            builders = {
+                "line_no": lambda: pa.array(res.ev_line_no, type=pa.int32()),
+                "idx": lambda: pa.array(res.ev_idx, type=pa.int32()),
+                "token": lambda: pa.array(res.ev_token, type=pa.int32()),
+                "marker_type": lambda: type_lut.take(
+                    pa.array(res.ev_type.astype(np.int64))),
+                "description": lambda: desc_lut.take(pa.array(
                     kernel.DESC_IDX_LUT[res.ev_token].astype(np.int64))),
-                act_lut.take(pa.array(res.ev_action.astype(np.int64))),
-                _repls(res),
-            ]
-            yield pa.RecordBatch.from_arrays(
-                arrays, names=keep + ["line_no", "idx", "token",
-                                      "marker_type", "description",
-                                      "action", "replacement"])
+                "action": lambda: act_lut.take(
+                    pa.array(res.ev_action.astype(np.int64))),
+                "replacement": lambda: _repls(res),
+            }
+            arrays = [batch.column(c).take(take) for c in keep] \
+                + [builders[n]() for n in ev_names]
+            yield pa.RecordBatch.from_arrays(arrays, names=keep + ev_names)
 
     return df.mapInArrow(run, ddl)

@@ -220,3 +220,32 @@ def test_sf001_full_corpus_differential(spark, oracle):
               and got["had_marker"] == exp["had_marker"])
         mismatches += not ok
     assert mismatches == 0
+
+
+def test_event_cols_pruning(spark):
+    """event_cols prunes the event payload at the operator boundary; the
+    pruned projection matches the full output column-for-column."""
+    from hidden_characters_detector_spark.operators.clean import detect_events
+
+    rows = [("p1", [0x61, 0x200B, 0x2018], 3, "web", None)]
+    df = spark.createDataFrame(
+        rows, "doc_id string, tokens array<int>, n_tok int, source string, "
+              "event_time timestamp")
+    full = detect_events(df, keep=["doc_id"])
+    assert full.columns == ["doc_id", "line_no", "idx", "token",
+                            "marker_type", "description", "action",
+                            "replacement"]
+    pruned = detect_events(df, keep=["doc_id"],
+                           event_cols=["token", "marker_type"])
+    assert pruned.columns == ["doc_id", "token", "marker_type"]
+    want = {(r["token"], r["marker_type"]) for r in full.collect()}
+    got = {(r["token"], r["marker_type"]) for r in pruned.collect()}
+    assert got == want and len(got) == 2
+    # description matches the reference tables
+    d = {r["token"]: r["description"] for r in full.collect()}
+    from hidden_characters_detector_spark import markers
+    assert d[0x200B] == markers.HIDDEN_DESCRIPTIONS[0x200B]
+    assert d[0x2018] == markers.TYPOGRAPHIC_DESCRIPTIONS[0x2018]
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="unknown event columns"):
+        detect_events(df, event_cols=["nope"])
