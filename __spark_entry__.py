@@ -705,12 +705,43 @@ def q_fingerprints(spark, sf_dir):
     return text_analysis.fingerprints(docs)
 
 
+def q_ann_topk_lsh(spark, sf_dir):
+    """Sign-LSH bucketed ANN (the scale path for ann_topk): probe buckets
+    within Hamming distance 4 of the query bucket, exact cosine inside.
+    Rows-only check — the bucket pruning is recall<1 by design, so no exact
+    SQL oracle; recall vs brute force is asserted in pytest."""
+    from hidden_characters_detector_spark.operators import similarity
+    emb = _table(spark, sf_dir, "embeddings")
+    out = similarity.lsh_cosine_topk(emb, _ann_query_vec(), k=10, nbits=12,
+                                     probe_hamming=4)
+    return out.select("vec_id", F.round("cosine", 4).alias("cosine"))
+
+
+def q_multimodal_features(spark, sf_dir):
+    """Multimodal plumbing end-to-end: attach binary media + typed metadata
+    to documents, decode to feature vectors (deterministic fake — container
+    ships no codecs), sample video frames, aggregate per kind.  Rows-only:
+    exercises the schema/Arrow fan-out/partition-independence contract."""
+    from hidden_characters_detector_spark.operators import multimodal
+    docs = _table(spark, sf_dir, "documents").select("doc_id")
+    media = multimodal.attach_fake_media(docs, kind="video")
+    feat = multimodal.decode_images(media, deterministic_fake=True)
+    frames = multimodal.sample_frames(feat, every_n=24)
+    return (frames.groupBy("doc_id")
+            .agg(F.count("*").cast("long").alias("n_sampled_frames"),
+                 F.round(F.sum(F.element_at("img_features", 1)), 4)
+                 .alias("feat0_sum"))
+            .orderBy("doc_id").limit(200))
+
+
 _EXTRA_QUERIES = {
     "exact_dedup": q_exact_dedup,
     "token_counts": q_token_counts,
     "quality": q_quality,
     "lang_id": q_lang_id,
     "ann_topk": q_ann_topk,
+    "ann_topk_lsh": q_ann_topk_lsh,
+    "multimodal_features": q_multimodal_features,
     "minhash_near_dups": q_minhash_near_dups,
     "simhash_near_dups": q_simhash_near_dups,
     "embedding_near_dups": q_embedding_near_dups,

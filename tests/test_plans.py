@@ -1,0 +1,124 @@
+"""Physical-plan shape assertions: the plans we rely on at 100 TB scale.
+
+These lock in the *physical* strategy, not just results: broadcast joins
+stay broadcast, filters reach the parquet scan, column pruning reaches the
+reader, and bucketed tables join without an Exchange.  A regression here
+is a silent 100x cost at scale even when small-SF results stay correct.
+"""
+
+from __future__ import annotations
+
+import __spark_entry__ as entrymod
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_order_customer_join_is_broadcast(spark):
+    plan = _plan(entrymod.q_order_customer_join(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_pricing_summary_pushes_filter_and_prunes_columns(spark):
+    plan = _plan(entrymod.q_pricing_summary(spark, SF_DIR))
+    # the shipdate predicate reaches the parquet scan
+    assert "PushedFilters: [" in plan
+    assert "l_shipdate" in plan.split("PushedFilters: [", 1)[1][:200]
+    # the scan reads only the aggregate's columns, not the full table
+    # (Spark truncates the ReadSchema string, so assert on the visible
+    # prefix: pruned scans list exactly the needed columns in order)
+    read_schema = plan.split("ReadSchema: ", 1)[1].splitlines()[0]
+    assert read_schema.startswith(
+        "struct<l_quantity:double,l_extendedprice:double,"
+        "l_returnflag:string,l_linestatus:string,l_shipdat")
+    assert "l_orderkey" not in read_schema
+    assert "l_comment" not in read_schema
+
+
+def test_events_window_agg_partial_aggregation(spark):
+    """The tumbling-window aggregate must plan a partial (map-side) agg
+    before the shuffle — the property that makes skewed sources cheap."""
+    plan = _plan(entrymod.q_events_tumbling(spark, SF_DIR))
+    assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_anti_join_no_cartesian(spark):
+    plan = _plan(entrymod.q_customers_without_orders(spark, SF_DIR))
+    assert "LeftAnti" in plan
+    assert "Cartesian" not in plan
+
+
+def test_bucketed_join_avoids_shuffle(spark, tmp_path):
+    """Bucketed tables co-partitioned on the join key join WITHOUT an
+    Exchange on either side — the co-located-join strategy for repeated
+    large-table joins at scale."""
+    db = "bucketdemo"
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db} "
+              f"LOCATION '{tmp_path / 'wh'}'")
+    try:
+        o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        c = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+        (o.write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+         .mode("overwrite").saveAsTable(f"{db}.orders_b"))
+        (c.write.bucketBy(8, "c_custkey").sortBy("c_custkey")
+         .mode("overwrite").saveAsTable(f"{db}.customer_b"))
+        ob = spark.table(f"{db}.orders_b")
+        cb = spark.table(f"{db}.customer_b")
+        # disable broadcast so the join strategy is the bucketed SMJ
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            j = ob.join(cb, ob.o_custkey == cb.c_custkey) \
+                .groupBy("c_mktsegment").count()
+            plan = _plan(j)
+            assert "SortMergeJoin" in plan
+            # no Exchange feeding the join (bucketing co-partitions it);
+            # the only exchange is the post-join groupBy
+            assert "Exchange hashpartitioning(o_custkey" not in plan
+            assert "Exchange hashpartitioning(c_custkey" not in plan
+            # and the result matches the unbucketed join
+            plain = (o.join(c, o.o_custkey == c.c_custkey)
+                     .groupBy("c_mktsegment").count())
+            assert sorted(map(tuple, j.collect())) == \
+                sorted(map(tuple, plain.collect()))
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+
+
+def test_exact_dedup_single_shuffle(spark):
+    """exact_dedup shuffles once on the digest: both window functions share
+    one hashpartitioning(content_hash) exchange."""
+    from hidden_characters_detector_spark.operators import dedup
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").selectExpr(
+        "cast(doc_id as string) doc_id", "text")
+    plan = _plan(dedup.exact_dedup(docs))
+    assert plan.count("Exchange hashpartitioning(content_hash") == 1
+
+
+def test_lsh_band_join_carries_no_signatures(spark):
+    """The 64-value signature array must not ride any shuffle/broadcast:
+    it is consumed inside the band-hash Generate; every Exchange in the
+    candidate plan carries only ids/band columns."""
+    from hidden_characters_detector_spark.operators.dedup import (
+        _lsh_candidates)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").selectExpr(
+        "cast(doc_id as string) doc_id", "text")
+    cand, _ = _lsh_candidates(docs, "doc_id", "text", num_perm=64,
+                              bands=16, seed=42)
+    plan = _plan(cand)
+    exchange_lines = [ln for ln in plan.splitlines() if "Exchange" in ln]
+    assert exchange_lines  # the pair-dedup shuffle at least
+    assert all("minhash" not in ln for ln in exchange_lines)
+    # the generator emits only (band, band_hash), not the signature
+    gen_lines = [ln for ln in plan.splitlines()
+                 if "Generate posexplode" in ln]
+    assert gen_lines
+    for ln in gen_lines:
+        out_cols = ln.rsplit("[", 1)[1]
+        assert "minhash" not in out_cols
