@@ -234,6 +234,66 @@ def _o_word_mode():
     FROM {osql.marked_docs_sql(DUCKDB)} m"""
 
 
+def q_detect_only(spark, sf_dir):
+    """Detect mode (--clean off, ref :677): text passes through unchanged;
+    a LEADING BOM (line 1, idx 0) is not reported; nothing is 'processed'."""
+    cfg = DetectorConfig(clean=False)
+    out = _cleaned(spark, sf_dir, cfg, keep=["doc_id"], emit_text=True)
+    return out.select(
+        "doc_id", "text_clean",
+        F.col("n_detected").cast("long").alias("n_detected"),
+        F.col("n_processed").cast("long").alias("n_processed"))
+
+
+def _o_detect_only():
+    d = osql.detected_expr(DUCKDB, "marked")
+    bom = "(CASE WHEN substr(marked, 1, 1) = '﻿' THEN 1 ELSE 0 END)"
+    return f"""
+    SELECT doc_id, marked AS text_clean,
+           CAST({d} - {bom} AS BIGINT) AS n_detected,
+           CAST(0 AS BIGINT) AS n_processed
+    FROM {osql.marked_docs_sql(DUCKDB)} m"""
+
+
+def q_no_typographic(spark, sf_dir):
+    """check_typographic=False (ref :686): hidden/IVS still removed,
+    typographic chars left untouched and uncounted."""
+    cfg = DetectorConfig(check_typographic=False)
+    out = _cleaned(spark, sf_dir, cfg, keep=["doc_id"], emit_text=True)
+    return out.select(
+        "doc_id", "text_clean",
+        F.col("n_detected").cast("long").alias("n_detected"))
+
+
+def _o_no_typographic():
+    e = osql.clean_expr(DUCKDB, "marked", typographic=False)
+    h = osql.count_expr(DUCKDB, "marked", osql.HIDDEN_CLASS)
+    i = osql.count_expr(DUCKDB, "marked", osql.IVS_CLASS)
+    return f"""
+    SELECT doc_id, {e} AS text_clean,
+           CAST({h} + {i} AS BIGINT) AS n_detected
+    FROM {osql.marked_docs_sql(DUCKDB)} m"""
+
+
+def q_no_ivs(spark, sf_dir):
+    """check_ivs=False (ref :694): IVS range left in place and uncounted."""
+    cfg = DetectorConfig(check_ivs=False)
+    out = _cleaned(spark, sf_dir, cfg, keep=["doc_id"], emit_text=True)
+    return out.select(
+        "doc_id", "text_clean",
+        F.col("n_detected").cast("long").alias("n_detected"))
+
+
+def _o_no_ivs():
+    e = osql.clean_expr(DUCKDB, "marked", ivs=False)
+    h = osql.count_expr(DUCKDB, "marked", osql.HIDDEN_CLASS)
+    t = osql.count_expr(DUCKDB, "marked", osql.TYPO_CLASS)
+    return f"""
+    SELECT doc_id, {e} AS text_clean,
+           CAST({h} + {t} AS BIGINT) AS n_detected
+    FROM {osql.marked_docs_sql(DUCKDB)} m"""
+
+
 def q_token_stats(spark, sf_dir):
     """Tokenize + token counting (text-analysis op over documents)."""
     toks = tokenize(_marked(spark, sf_dir).select("doc_id", "marked"),
@@ -406,6 +466,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "detect_events": q_detect_events,
         "excluded_zwsp": q_excluded_zwsp,
         "word_mode": q_word_mode,
+        "detect_only": q_detect_only,
+        "no_typographic": q_no_typographic,
+        "no_ivs": q_no_ivs,
         "token_stats": q_token_stats,
         "pricing_summary": q_pricing_summary,
         "order_customer_join": q_order_customer_join,
@@ -425,6 +488,9 @@ def oracle_sql() -> dict[str, str]:
         "detect_events": _o_detect_events(),
         "excluded_zwsp": _o_excluded_zwsp(),
         "word_mode": _o_word_mode(),
+        "detect_only": _o_detect_only(),
+        "no_typographic": _o_no_typographic(),
+        "no_ivs": _o_no_ivs(),
         "token_stats": _o_token_stats(),
         "pricing_summary": _o_pricing_summary(),
         "order_customer_join": _o_order_customer_join(),

@@ -41,12 +41,13 @@ def _char_class(cps) -> str:
 # hidden markers + the IVS range: everything full-clean removes outright.
 # (FE0F is included: the emoji context rule is inert without the emoji lib —
 # consistent across our kernel, the reference here, and this oracle.)
-def removal_class(excluded: frozenset[int] = frozenset()) -> str:
+def removal_class(excluded: frozenset[int] = frozenset(), *,
+                  ivs: bool = True) -> str:
     cps = markers.HIDDEN_CODEPOINTS - excluded
     cls = "".join(chr(cp) for cp in sorted(cps))
-    ivs = "" if markers.IVS_LO in excluded else \
+    ivs_part = "" if (not ivs or markers.IVS_LO in excluded) else \
         f"{chr(markers.IVS_LO)}-{chr(markers.IVS_HI)}"
-    return f"[{cls}{ivs}]"
+    return f"[{cls}{ivs_part}]"
 
 
 TYPO_CLASS = _char_class(markers.TYPOGRAPHIC_CODEPOINTS)
@@ -55,13 +56,17 @@ IVS_CLASS = f"[{chr(markers.IVS_LO)}-{chr(markers.IVS_HI)}]"
 
 
 def clean_expr(dialect: str, col: str,
-               excluded: frozenset[int] = frozenset()) -> str:
-    """Full-clean semantics as one SQL expression (clean=typo=ivs=True)."""
-    e = _regexp_replace(dialect, col, removal_class(excluded), "")
-    for cp, out in sorted(markers.LIVE_REPLACEMENTS.items()):
-        if cp in excluded:
-            continue
-        e = f"replace({e}, {q(chr(cp))}, {q(''.join(map(chr, out)))})"
+               excluded: frozenset[int] = frozenset(), *,
+               typographic: bool = True, ivs: bool = True) -> str:
+    """Clean semantics as one SQL expression; ``typographic``/``ivs``
+    mirror the constructor flags (ref :576-599): typographic off leaves
+    live-replacement chars untouched, ivs off leaves the VS17-256 range."""
+    e = _regexp_replace(dialect, col, removal_class(excluded, ivs=ivs), "")
+    if typographic:
+        for cp, out in sorted(markers.LIVE_REPLACEMENTS.items()):
+            if cp in excluded:
+                continue
+            e = f"replace({e}, {q(chr(cp))}, {q(''.join(map(chr, out)))})"
     return e
 
 

@@ -490,3 +490,37 @@ def test_null_rows_do_not_crash_operators(spark):
            clean_detect(toks).collect()}
     assert got["t1"] == [A]
     assert got["t2"] == []
+
+
+def test_single_pass_pipeline_continuous_trigger(spark, tmp_path):
+    """--no-available-now path: processing-time trigger drains files while
+    running; stop after the manifests appear, sink + density consistent."""
+    import json
+
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    os.makedirs(src)
+    now = time.time()
+    for i in range(3):
+        _write_file(spark, [_row(f"c{i}_{j}", [A, ZWSP], "web", _mins(i))
+                            for j in range(5)],
+                    os.path.join(src, f"f{i}"), now - 300 + i)
+
+    q = pipeline.single_pass_pipeline(spark, src, out, str(tmp_path / "ck"),
+                                      trigger_available_now=False,
+                                      max_files_per_trigger=1)
+    try:
+        q.processAllAvailable()  # blocks until every staged file is drained
+        assert q.exception() is None
+    finally:
+        q.stop()
+    d = os.path.join(out, "cleaned")
+    total = sum(json.load(open(os.path.join(d, m)))["rows"]
+                for m in os.listdir(d) if m.startswith("_manifest"))
+    assert total == 15
+    sink = read_sink(spark, os.path.join(out, "cleaned"))
+    assert sink.count() == 15
+    assert sink.select("doc_id").distinct().count() == 15
+    dens = pipeline.read_density(spark, out).agg(
+        F.sum("n_detections"), F.sum("n_seq")).collect()[0]
+    assert tuple(dens) == (15, 15)  # one ZWSP per sequence
