@@ -122,3 +122,58 @@ def test_lsh_band_join_carries_no_signatures(spark):
     for ln in gen_lines:
         out_cols = ln.rsplit("[", 1)[1]
         assert "minhash" not in out_cols
+
+
+def test_partition_pruning_reaches_scan(spark, tmp_path):
+    """A source-partitioned table scanned with a source filter prunes
+    partitions at plan time (PartitionFilters, not a post-scan Filter) —
+    the layout the cleaned-corpus sink uses at scale."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    part_dir = str(tmp_path / "by_source")
+    docs.write.partitionBy("source").mode("overwrite").parquet(part_dir)
+    scan = (spark.read.parquet(part_dir)
+            .where("source = 'web'").select("doc_id", "n_chars"))
+    plan = _plan(scan)
+    assert "PartitionFilters: [" in plan
+    pf = plan.split("PartitionFilters: [", 1)[1][:120]
+    assert "source" in pf
+    # and the data filter list carries nothing (no row-level source filter)
+    n_all = docs.where("source = 'web'").count()
+    assert scan.count() == n_all
+
+
+def test_aqe_splits_skewed_join(spark, tmp_path):
+    """AQE skew-join handling: a zipf-skewed fact joined to a dim with
+    broadcast disabled gets its hot partition split (skew=true in the final
+    adaptive plan) once the skew thresholds are exceeded."""
+    conf = {
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes":
+            "65536",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "65536",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    prev = {k: spark.conf.get(k, None) for k in conf}
+    for k, v in conf.items():
+        spark.conf.set(k, v)
+    try:
+        # hot key 0 carries ~90% of 300k fact rows; the payload must be
+        # incompressible — skew detection reads COMPRESSED map-output
+        # sizes, so a repeated-char payload never crosses the threshold
+        fact = spark.range(0, 300_000).selectExpr(
+            "CASE WHEN id % 10 < 9 THEN 0 ELSE id % 100 END AS k",
+            "sha2(cast(id as string), 256) AS payload")
+        dim = spark.range(0, 100).selectExpr("id AS k", "id * 2 AS v")
+        j = fact.join(dim, "k")
+        assert len(j.collect()) == 300_000  # AQE decides at runtime
+        final = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in final
+        assert "AQEShuffleRead skewed" in final
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
