@@ -81,10 +81,112 @@ def exactly_once_parquet_sink(df: DataFrame, out_dir: str,
     return writer.start()
 
 
+def _batch_dirs(out_dir: str) -> list[str]:
+    if not os.path.isdir(out_dir):
+        return []
+    return sorted(d for d in os.listdir(out_dir)
+                  if d.startswith("batch_id=")
+                  and os.path.isdir(os.path.join(out_dir, d)))
+
+
 def read_sink(spark, out_dir: str) -> DataFrame:
-    """Read committed sink output back (S10 cleaned-readback analog)."""
+    """Read committed sink output back (S10 cleaned-readback analog).
+
+    After :func:`compact_sink` has run, reads the compacted generation
+    directory plus any batch partitions newer than the compaction point.
+    """
+    comp_meta = os.path.join(out_dir, "_compaction.json")
+    if os.path.exists(comp_meta):
+        with open(comp_meta) as f:
+            meta = json.load(f)
+        df = spark.read.parquet(os.path.join(out_dir, meta["dir"]))
+        live = [d for d in _batch_dirs(out_dir)
+                if int(d.split("=", 1)[1]) > meta["up_to"]]
+        if live:
+            newer = spark.read.option("basePath", out_dir).parquet(
+                *[os.path.join(out_dir, d) for d in live])
+            df = df.unionByName(newer)
+        return df
     return spark.read.option("basePath", out_dir).parquet(
         os.path.join(out_dir, "batch_id=*"))
+
+
+def compact_sink(spark, out_dir: str, *,
+                 target_rows_per_file: int = 1_000_000) -> dict:
+    """Compact the per-batch sink directories (small-files maintenance).
+
+    A streaming sink that commits one directory per micro-batch accumulates
+    many small files — the classic small-files problem that degrades scan
+    parallelism and NameNode/listing pressure at scale.  This rewrites all
+    committed ``batch_id=N`` partitions into one bin-packed generation
+    directory, then atomically publishes it:
+
+    1. read every committed batch partition (footer-exact row count);
+    2. rewrite into ``ceil(rows / target_rows_per_file)`` files under a
+       temp dir, carrying ``batch_id`` as a data column (lineage kept);
+    3. ``os.replace`` the temp dir to ``gen-<up_to>`` and atomically write
+       ``_compaction.json`` (the publish point — readers switch over in
+       one rename, like the reference's temp-file commit);
+    4. delete the superseded batch directories and their manifests.
+
+    Batches newer than the compaction point keep arriving as ``batch_id=N``
+    dirs and are unioned by :func:`read_sink`; the streaming query itself
+    never replays a batch at or below a committed compaction point (the
+    checkpoint WAL is ahead of it), so overwrite-by-batch-id semantics are
+    unaffected.  (With Iceberg jars this whole function is
+    ``rewrite_data_files``.)  Returns {"up_to", "rows", "files"}.
+    """
+    import math
+    import shutil
+
+    dirs = _batch_dirs(out_dir)
+    comp_meta = os.path.join(out_dir, "_compaction.json")
+    prev = None
+    if os.path.exists(comp_meta):
+        with open(comp_meta) as f:
+            prev = json.load(f)
+        dirs = [d for d in dirs if int(d.split("=", 1)[1]) > prev["up_to"]]
+    if not dirs and prev is None:
+        return {"up_to": -1, "rows": 0, "files": 0}
+    up_to = max((int(d.split("=", 1)[1]) for d in dirs),
+                default=prev["up_to"] if prev else -1)
+
+    df = None
+    if dirs:
+        df = spark.read.option("basePath", out_dir).parquet(
+            *[os.path.join(out_dir, d) for d in dirs])
+    if prev is not None:
+        old_gen = spark.read.parquet(os.path.join(out_dir, prev["dir"]))
+        df = old_gen if df is None else df.unionByName(old_gen)
+    rows = sum(parquet_dir_rows(os.path.join(out_dir, d)) for d in dirs)
+    if prev is not None:
+        rows += prev["rows"]
+    n_files = max(1, math.ceil(rows / target_rows_per_file))
+    tmp = os.path.join(out_dir, "_compact_tmp")
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    df.repartition(n_files).write.mode("overwrite").parquet(tmp)
+    gen_name = f"gen-{up_to}"
+    gen_dir = os.path.join(out_dir, gen_name)
+    if os.path.exists(gen_dir):
+        shutil.rmtree(gen_dir)
+    os.replace(tmp, gen_dir)
+    meta_tmp = comp_meta + ".tmp"
+    with open(meta_tmp, "w") as f:
+        json.dump({"up_to": up_to, "dir": gen_name, "rows": rows}, f)
+    os.replace(meta_tmp, comp_meta)  # the atomic publish point
+    # garbage-collect superseded inputs (crash before this point only
+    # leaves extra files; readers already switched at the publish)
+    for d in dirs:
+        shutil.rmtree(os.path.join(out_dir, d))
+        manifest = os.path.join(out_dir,
+                                f"_manifest_batch_{d.split('=', 1)[1]}.json")
+        if os.path.exists(manifest):
+            os.remove(manifest)
+    if prev is not None and prev["dir"] != gen_name:
+        shutil.rmtree(os.path.join(out_dir, prev["dir"]), ignore_errors=True)
+    n_out = len([f for f in os.listdir(gen_dir) if f.endswith(".parquet")])
+    return {"up_to": up_to, "rows": rows, "files": n_out}
 
 
 ICEBERG_PACKAGE = "org.apache.iceberg:iceberg-spark-runtime-4.0_2.13:1.10.0"

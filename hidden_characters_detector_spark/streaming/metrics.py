@@ -60,6 +60,18 @@ class ProgressRecorder(StreamingQueryListener):
                 n += int(op.get("numRowsDroppedByWatermark", 0))
         return n
 
+    def observed(self, metric_name: str, field: str,
+                 query_name: str | None = None) -> int:
+        """Sum an ``observe()`` metric field across recorded batches."""
+        n = 0
+        for p in self.progress:
+            if query_name is not None and p.get("name") != query_name:
+                continue
+            m = p.get("observedMetrics", {}).get(metric_name)
+            if m and m.get(field) is not None:
+                n += int(m[field])
+        return n
+
     def state_rows(self, query_name: str | None = None) -> int:
         n = 0
         for p in self.progress:

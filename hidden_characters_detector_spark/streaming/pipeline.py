@@ -216,6 +216,16 @@ def single_pass_pipeline(spark: SparkSession, input_path: str, out_dir: str,
     tok = read_token_stream(spark, input_path,
                             max_files_per_trigger=max_files_per_trigger)
     cleaned = clean_stream(tok, cfg)
+    # per-batch marker-rate telemetry, zero extra passes: observe() folds
+    # these aggregates into the batch's own execution and surfaces them in
+    # every progress event's observedMetrics (ops monitoring at no cost —
+    # the A3/A4 ScanStats+throughput telemetry of the reference, ref
+    # :926-948, as streaming metrics)
+    cleaned = cleaned.observe(
+        "clean_metrics",
+        F.count(F.lit(1)).alias("n_seq"),
+        F.sum("n_detected").alias("n_detected"),
+        F.sum(F.col("had_marker").cast("long")).alias("n_seq_with_markers"))
     sink_dir = os.path.join(out_dir, "cleaned")
     dens_dir = os.path.join(out_dir, "density")
 

@@ -400,9 +400,24 @@ def test_single_pass_pipeline(spark, tmp_path):
              + [_row("pb", [QUOTE, A], "books", _mins(0.5))])
     _write_file(spark, rows1, os.path.join(src, "f1"), now - 300)
 
-    q = pipeline.single_pass_pipeline(spark, src, out, str(tmp_path / "ck"),
-                                      max_files_per_trigger=1)
-    q.awaitTermination(120)
+    rec = ProgressRecorder()
+    spark.streams.addListener(rec)
+    try:
+        q = pipeline.single_pass_pipeline(spark, src, out,
+                                          str(tmp_path / "ck"),
+                                          max_files_per_trigger=1)
+        q.awaitTermination(120)
+    finally:
+        spark.streams.removeListener(rec)
+    # observe() telemetry: per-batch marker metrics ride the progress
+    # events at zero extra compute (listener delivery is async — poll)
+    deadline = time.time() + 30
+    while (rec.observed("clean_metrics", "n_seq") < 7
+           and time.time() < deadline):
+        time.sleep(0.5)
+    assert rec.observed("clean_metrics", "n_seq") == 7
+    assert rec.observed("clean_metrics", "n_detected") == 7
+    assert rec.observed("clean_metrics", "n_seq_with_markers") == 7
 
     sink = read_sink(spark, os.path.join(out, "cleaned"))
     assert sink.count() == 7
@@ -524,3 +539,52 @@ def test_single_pass_pipeline_continuous_trigger(spark, tmp_path):
     dens = pipeline.read_density(spark, out).agg(
         F.sum("n_detections"), F.sum("n_seq")).collect()[0]
     assert tuple(dens) == (15, 15)  # one ZWSP per sequence
+
+
+def test_compact_sink(spark, tmp_path):
+    """Small-files maintenance: batch dirs compact into one generation with
+    an atomic publish; readback is identical before/after, newer batches
+    union in, and a second compaction folds the old generation."""
+    from hidden_characters_detector_spark.sinks.exactly_once import (
+        compact_sink)
+
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    os.makedirs(src)
+    now = time.time()
+    for i in range(4):
+        _write_file(spark, [_row(f"m{i}_{j}", [A, ZWSP], "web", _mins(i))
+                            for j in range(5)],
+                    os.path.join(src, f"f{i}"), now - 300 + i)
+    q = exactly_once_parquet_sink(
+        pipeline.clean_stream(
+            pipeline.read_token_stream(spark, src, max_files_per_trigger=1)),
+        out, ck)
+    q.awaitTermination(120)
+    before = sorted(r["doc_id"] for r in read_sink(spark, out).collect())
+    assert len(before) == 20
+
+    info = compact_sink(spark, out, target_rows_per_file=10)
+    assert info["rows"] == 20 and info["files"] == 2
+    assert not [d for d in os.listdir(out) if d.startswith("batch_id=")]
+    after = sorted(r["doc_id"] for r in read_sink(spark, out).collect())
+    assert after == before
+
+    # new batches after compaction union in at read time
+    _write_file(spark, [_row("m_new", [ZWSP], "web", _mins(9))],
+                os.path.join(src, "f_new"), now - 100)
+    q2 = exactly_once_parquet_sink(
+        pipeline.clean_stream(
+            pipeline.read_token_stream(spark, src, max_files_per_trigger=1)),
+        out, ck)
+    q2.awaitTermination(120)
+    with_new = read_sink(spark, out)
+    assert with_new.count() == 21
+    assert with_new.where("doc_id = 'm_new'").count() == 1
+
+    # second compaction folds the previous generation + the new batch
+    info2 = compact_sink(spark, out, target_rows_per_file=1000)
+    assert info2["rows"] == 21 and info2["files"] == 1
+    assert read_sink(spark, out).count() == 21
+    assert read_sink(spark, out).select("doc_id").distinct().count() == 21
