@@ -800,8 +800,67 @@ def q_multimodal_features(spark, sf_dir):
             .orderBy("doc_id").limit(200))
 
 
+# portable SQL (identical in Spark SQL and DuckDB): plant PII into a
+# deterministic subset of docs so redaction is non-vacuous
+_PII_EXPR = ("(CASE WHEN doc_id % 5 = 0 THEN text || ' contact user'"
+             " || cast(doc_id as string) || '@example.com at 192.168.'"
+             " || cast(doc_id % 256 as string) || '.7 or +1 (555) 123-45'"
+             " || cast(doc_id % 90 + 10 as string) ELSE text END)")
+
+
+def q_redact_pii(spark, sf_dir):
+    """PII redaction (emails / IPv4 / phone-ish runs) with audit counts —
+    JVM regexp_replace only, patterns shared verbatim with the oracle."""
+    from hidden_characters_detector_spark.operators import text_analysis
+    docs = _table(spark, sf_dir, "documents").selectExpr(
+        "doc_id", f"{_PII_EXPR} AS text")
+    return text_analysis.redact_pii(docs).select(
+        "doc_id", "n_email", "n_ipv4", "n_phone", "text_redacted")
+
+
+def _o_redact_pii():
+    from hidden_characters_detector_spark.operators.text_analysis import (
+        PII_PATTERNS)
+    red = "text"
+    counts = []
+    for name, pat, repl in PII_PATTERNS:
+        counts.append(
+            f"CAST(len(regexp_extract_all(text, {osql.q(pat)})) AS BIGINT)"
+            f" AS n_{name}")
+        red = f"regexp_replace({red}, {osql.q(pat)}, {osql.q(repl)}, 'g')"
+    return f"""
+    WITH planted AS (SELECT doc_id, {_PII_EXPR} AS text FROM documents)
+    SELECT doc_id, {', '.join(counts)}, {red} AS text_redacted
+    FROM planted"""
+
+
+def q_ngram_topk(spark, sf_dir):
+    """Corpus-level top-20 word bigrams (explode -> count -> sort-limit,
+    the heavy-shuffle aggregate shape with map-side partials)."""
+    from hidden_characters_detector_spark.operators import text_analysis
+    docs = _table(spark, sf_dir, "documents").select("text")
+    return text_analysis.top_ngrams(docs, n=2, k=20)
+
+
+def _o_ngram_topk():
+    return """
+    WITH w AS (
+      SELECT list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS ws
+      FROM documents),
+    g AS (
+      SELECT ws[CAST(t.i AS INTEGER)] || ' ' || ws[CAST(t.i + 1 AS INTEGER)]
+                 AS ngram
+      FROM w, unnest(range(1, len(ws))) AS t(i)
+      WHERE len(ws) >= 2)
+    SELECT ngram, CAST(count(*) AS BIGINT) AS n_occurrences
+    FROM g GROUP BY ngram ORDER BY n_occurrences DESC, ngram LIMIT 20"""
+
+
 _EXTRA_QUERIES = {
     "exact_dedup": q_exact_dedup,
+    "redact_pii": q_redact_pii,
+    "ngram_topk": q_ngram_topk,
     "token_counts": q_token_counts,
     "quality": q_quality,
     "lang_id": q_lang_id,
@@ -817,6 +876,8 @@ _EXTRA_QUERIES = {
 
 _EXTRA_ORACLES = {
     "exact_dedup": _o_exact_dedup,
+    "redact_pii": _o_redact_pii,
+    "ngram_topk": _o_ngram_topk,
     "token_counts": _o_token_counts,
     "quality": _o_quality,
     "lang_id": _o_lang_id,

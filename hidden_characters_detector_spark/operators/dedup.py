@@ -18,6 +18,13 @@ Exact, MinHash+LSH, SimHash, and n-gram Jaccard near-dup detection over the
   grouped by fingerprint bands (4x16-bit tables) — again no cross join;
 * verification (true Jaccard over shingle sets) happens only on
   bucket-collision candidates — pair-local by construction.
+
+Techniques (public literature): MinHash resemblance estimation — Broder,
+"On the resemblance and containment of documents" (1997); banded LSH —
+Leskovec/Rajaraman/Ullman, *Mining of Massive Datasets* ch. 3; SimHash —
+Charikar, "Similarity estimation techniques from rounding algorithms"
+(STOC 2002) as applied in Manku et al., "Detecting near-duplicates for web
+crawling" (WWW 2007).
 """
 
 from __future__ import annotations

@@ -2,9 +2,13 @@
 
 Language-ID (stopword/character heuristic), quality scoring (length /
 punctuation / stopword / repetition ratios), token counting (whitespace and
-BPE-ish regex), and rolling-hash document fingerprinting — all over the
-``documents`` table, all expressed with built-in Spark SQL functions so they
-stay inside whole-stage codegen (no Python in these paths at all).
+BPE-ish regex), PII redaction, corpus n-gram stats, and rolling-hash
+document fingerprinting over the ``documents`` table.  Everything except
+the fingerprint window-min is built-in Spark SQL functions inside
+whole-stage codegen; the window-min runs in the Arrow kernel (see
+``fingerprints``).  Fingerprint sampling follows the winnowing idea of
+Schleimer/Wilkerson/Aiken, "Winnowing: local algorithms for document
+fingerprinting" (SIGMOD 2003).
 """
 
 from __future__ import annotations
@@ -87,6 +91,53 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
         pred = pred.when(F.col(f"sw_{lang}") == best, F.lit(lang))
     return out.withColumn("lang_pred", pred).drop(
         *[f"sw_{lang}" for lang in langs])
+
+
+# deliberately simple, RE2-safe patterns shared verbatim with the oracle
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+     "<EMAIL>"),
+    ("ipv4", r"\b([0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
+    ("phone", r"\+?[0-9][0-9()\-\s]{7,}[0-9]", "<PHONE>"),
+)
+
+
+def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Training-data hygiene: redact common PII shapes (emails, IPv4s,
+    phone-ish digit runs) with typed placeholders, entirely JVM-side
+    regexp_replace — stays in whole-stage codegen.  Adds ``text_redacted``
+    plus per-kind match counts (cheap audit columns)."""
+    c = F.col(text_col)
+    red = c
+    counts = []
+    for name, pat, repl in PII_PATTERNS:
+        counts.append(
+            F.size(F.regexp_extract_all(c, F.lit(pat), F.lit(0)))
+            .cast("long").alias(f"n_{name}"))
+        red = F.regexp_replace(red, pat, repl)
+    return df.select("*", *counts, red.alias("text_redacted"))
+
+
+def top_ngrams(df: DataFrame, text_col: str = "text", *, n: int = 2,
+               k: int = 20) -> DataFrame:
+    """Corpus-level top-k word n-grams: lowercase word split → n-gram
+    assembly with JVM higher-order functions (no explode until the n-grams
+    exist as an array) → explode → count → sort-limit.  The explode+agg is
+    the classic heavy-shuffle shape; partial aggregation keeps the shuffle
+    at distinct-ngram cardinality per map partition."""
+    words = F.filter(F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"),
+                     lambda w: w != "")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(words) - n),
+        lambda i: F.concat_ws(" ", *[F.element_at(words, (i + j + 1)
+                                                  .cast("int"))
+                                     for j in range(n)]))
+    return (df.select(F.explode(
+                F.when(F.size(words) >= n, grams)
+                .otherwise(F.array())).alias("ngram"))
+            .groupBy("ngram")
+            .agg(F.count("*").cast("long").alias("n_occurrences"))
+            .orderBy(F.desc("n_occurrences"), "ngram").limit(k))
 
 
 def fingerprints(df: DataFrame, text_col: str = "text",

@@ -68,6 +68,11 @@ def main() -> None:
     ap.add_argument("--max-files-per-trigger", type=int, default=None)
     ap.add_argument("--sink", choices=("parquet", "iceberg"),
                     default="parquet")
+    ap.add_argument("--compact", action="store_true",
+                    help="after the drain completes, compact the per-batch "
+                         "sink dirs into one generation (small-files "
+                         "maintenance; availableNow mode only)")
+    ap.add_argument("--compact-target-rows", type=int, default=1_000_000)
     # detection config (reference CLI parity)
     ap.add_argument("--exclude-char", action="append", default=[],
                     metavar="CHAR", help="U+XXXX, bare hex, or literal char "
@@ -120,6 +125,13 @@ def main() -> None:
             query_name="cleaned-sink")
 
     q.awaitTermination()
+    if args.compact and args.sink == "parquet" and args.available_now:
+        from hidden_characters_detector_spark.sinks.exactly_once import (
+            compact_sink)
+        info = compact_sink(spark, os.path.join(args.output, "cleaned"),
+                            target_rows_per_file=args.compact_target_rows)
+        print(f"COMPACTED up_to={info['up_to']} rows={info['rows']} "
+              f"files={info['files']}")
     n = rec.total_input_rows("cleaned-sink")
     dur = sum(p.get("batchDuration", 0) for p in rec.progress
               if p.get("name") == "cleaned-sink") / 1000.0

@@ -200,3 +200,32 @@ def test_fingerprints_long_doc_bounded(spark):
     assert out1["big1"][1] != out1["big2"][1]       # fp_xxh64 differs
     # identical strided prefix windows dominate the min
     assert out1["big1"][4] == out1["big2"][4]       # fp_shingle_min equal
+
+
+def test_redact_pii(spark):
+    rows = [("p1", "mail me at jo.doe+x@corp.io or 10.0.0.1 tel "
+                   "+44 (20) 7946-0958 ok"),
+            ("p2", "no pii here at all"),
+            ("p3", "")]
+    out = {r["doc_id"]: r for r in text_analysis.redact_pii(
+        spark.createDataFrame(rows, "doc_id string, text string")).collect()}
+    assert "<EMAIL>" in out["p1"]["text_redacted"]
+    assert "<IP>" in out["p1"]["text_redacted"]
+    assert "<PHONE>" in out["p1"]["text_redacted"]
+    assert out["p1"]["n_email"] == 1 and out["p1"]["n_ipv4"] == 1
+    assert "jo.doe" not in out["p1"]["text_redacted"]
+    assert out["p2"]["text_redacted"] == "no pii here at all"
+    assert out["p2"]["n_email"] == 0
+    assert out["p3"]["text_redacted"] == ""
+
+
+def test_top_ngrams_tiny_docs(spark):
+    """Docs shorter than n words must not error under ANSI element_at."""
+    rows = [("a", "one"), ("b", ""), ("c", "two words"),
+            ("d", "two words again"), ("e", "two words")]
+    out = {r["ngram"]: r["n_occurrences"] for r in text_analysis.top_ngrams(
+        spark.createDataFrame(rows, "doc_id string, text string"),
+        n=2, k=10).collect()}
+    assert out["two words"] == 3
+    assert out["words again"] == 1
+    assert len(out) == 2
