@@ -271,6 +271,91 @@ def read_density(spark: SparkSession, out_dir: str) -> DataFrame:
                  F.sum("n_seq").alias("n_seq")))
 
 
+def marker_rate_anomalies(cleaned: DataFrame, *, alpha: float = 0.3,
+                          threshold: float = 3.0, min_batches: int = 3,
+                          state_timeout_ms: int | None = None
+                          ) -> DataFrame:
+    """Custom stateful CEP operator (``applyInPandasWithState``): per-source
+    marker-rate anomaly detection.
+
+    Built-in stateful operators cover windows/joins; this is the custom
+    per-key state machine Spark lacks: for each ``source`` it keeps an
+    exponential moving average of the per-batch detection rate
+    (detections / sequence) in a tiny GroupState, and flags a batch whose
+    rate exceeds ``threshold``× the EWMA once ``min_batches`` batches have
+    been observed.  State is a 3-field tuple per source (EWMA, batch count,
+    last event-time micros) — O(#sources), checkpointed / restored by the
+    state store like any built-in operator.
+
+    ``state_timeout_ms`` enables processing-time state eviction for
+    long-running continuous deployments.  Leave it ``None`` (NoTimeout)
+    under ``availableNow``: a registered processing-time timeout keeps the
+    drain trigger scheduling empty micro-batches to service future
+    timeouts, so the query never terminates (measured: dozens of no-data
+    batches after the last file).
+
+    Emits one row per (source, micro-batch): the observed rate, the EWMA
+    *before* this batch folded in, and the anomaly flag.
+    """
+    from pyspark.sql.streaming.state import (GroupState,
+                                             GroupStateTimeout)
+
+    out_schema = ("source string, last_event_time timestamp, n_seq long, "
+                  "n_detected long, rate double, ewma_prev double, "
+                  "n_batches_seen long, is_anomaly boolean")
+    state_schema = "ewma double, n long, last_us long"
+
+    def fn(key, pdf_iter, state: GroupState):
+        import pandas as pd
+
+        if state.hasTimedOut:
+            # the input iterator MUST be drained even on the timeout path:
+            # returning with unconsumed Arrow batches desynchronizes the
+            # worker protocol (the JVM sees the worker "crash" with EOF and
+            # retries the batch forever)
+            for _ in pdf_iter:
+                pass
+            state.remove()
+            return
+        n_seq = 0
+        n_det = 0
+        last_us = 0
+        for pdf in pdf_iter:
+            n_seq += len(pdf)
+            n_det += int(pdf["n_detected"].sum())
+            if len(pdf):
+                last_us = max(last_us,
+                              int(pdf["event_time"].astype("int64").max()
+                                  // 1000))
+        rate = (n_det / n_seq) if n_seq else 0.0
+        ewma_prev, n_prev = (0.0, 0)
+        if state.exists:
+            ewma_prev, n_prev, _ = state.get
+        is_anomaly = bool(n_prev >= min_batches and ewma_prev > 0
+                          and rate > threshold * ewma_prev)
+        ewma_new = rate if n_prev == 0 else \
+            alpha * rate + (1 - alpha) * ewma_prev
+        state.update((float(ewma_new), int(n_prev + 1), int(last_us)))
+        if state_timeout_ms is not None:
+            state.setTimeoutDuration(state_timeout_ms)
+        yield pd.DataFrame([{
+            "source": key[0],
+            "last_event_time": pd.Timestamp(last_us, unit="us"),
+            "n_seq": n_seq, "n_detected": n_det, "rate": rate,
+            "ewma_prev": float(ewma_prev),
+            "n_batches_seen": int(n_prev + 1),
+            "is_anomaly": is_anomaly,
+        }])
+
+    timeout_mode = (GroupStateTimeout.NoTimeout
+                    if state_timeout_ms is None
+                    else GroupStateTimeout.ProcessingTimeTimeout)
+    return (cleaned.select("source", "event_time", "n_detected")
+            .groupBy("source")
+            .applyInPandasWithState(
+                fn, out_schema, state_schema, "append", timeout_mode))
+
+
 ROCKSDB_PROVIDER = ("org.apache.spark.sql.execution.streaming.state."
                     "RocksDBStateStoreProvider")
 

@@ -588,3 +588,69 @@ def test_compact_sink(spark, tmp_path):
     assert info2["rows"] == 21 and info2["files"] == 1
     assert read_sink(spark, out).count() == 21
     assert read_sink(spark, out).select("doc_id").distinct().count() == 21
+
+
+def test_marker_rate_anomalies(spark, tmp_path):
+    """Custom stateful operator (applyInPandasWithState): per-source EWMA of
+    the marker rate flags a burst batch; state survives checkpoint resume."""
+    src = str(tmp_path / "in")
+    ck = str(tmp_path / "ck")
+    os.makedirs(src)
+    now = time.time()
+    # batch 1: steady rate 1.0 (one ZWSP per sequence); batch 2: one
+    # sequence carrying 4 markers -> rate 4.0 >> 1.8x EWMA -> alert.
+    # (kept to 3 micro-batches total: each stateful batch costs ~40 s of
+    # python state-worker startup on this VM)
+    _write_file(spark, [_row(f"n{j}", [A, ZWSP], "web", _mins(0))
+                        for j in range(4)],
+                os.path.join(src, "f0"), now - 300)
+    _write_file(spark, [_row("burst", [ZWSP, ZWSP, ZWSP, ZWSP], "web",
+                             _mins(5))],
+                os.path.join(src, "f_burst"), now - 200)
+
+    out = str(tmp_path / "out")
+
+    def start():
+        # memory sinks cannot recover from checkpoints (CLAUDE.md landmine)
+        # -> resume-capable foreachBatch parquet sink.  Pin the state
+        # partition count low: 8 state partitions x python workers per
+        # micro-batch is all fixed cost for a 1-key stream on this VM.
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "2")
+        try:
+            tok = pipeline.read_token_stream(spark, src,
+                                             max_files_per_trigger=1)
+            an = pipeline.marker_rate_anomalies(
+                pipeline.clean_stream(tok), alpha=0.5, threshold=1.8,
+                min_batches=1)
+            return exactly_once_parquet_sink(an, out, ck, query_name="anom")
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    def fetch():
+        return sorted(
+            (r for r in read_sink(spark, out).collect()
+             if r["source"] == "web"),
+            key=lambda r: r["n_batches_seen"])
+
+    q = start()
+    assert q.awaitTermination(420), "first drain did not finish"
+    rows = fetch()
+    assert [r["n_batches_seen"] for r in rows] == [1, 2]
+    assert abs(rows[0]["rate"] - 1.0) < 1e-9
+    assert not rows[0]["is_anomaly"]  # no baseline yet
+    burst = rows[1]
+    # ZWSP,ZWSP,ZWSP,ZWSP -> n_detected=4, n_seq=1 -> rate 4.0 >> 1.8*1.0
+    assert burst["rate"] == 4.0 and burst["is_anomaly"]
+    assert abs(burst["ewma_prev"] - 1.0) < 1e-9
+
+    # resume from checkpoint: the EWMA state (count, value) carries over
+    _write_file(spark, [_row("post", [A, ZWSP], "web", _mins(6))],
+                os.path.join(src, "f_post"), now - 100)
+    q2 = start()
+    assert q2.awaitTermination(420), "resume drain did not finish"
+    rows2 = fetch()
+    assert rows2[-1]["n_batches_seen"] == 3  # state survived the restart
+    # ewma after burst = 0.5*4.0 + 0.5*1.0 = 2.5; rate 1.0 not anomalous
+    assert abs(rows2[-1]["ewma_prev"] - 2.5) < 1e-9
+    assert not rows2[-1]["is_anomaly"]
