@@ -504,16 +504,6 @@ def oracle_sql() -> dict[str, str]:
 # =========================================================================
 # training-data pipeline operators (dedup / similarity / text analysis)
 # =========================================================================
-def _mutated_docs(spark, sf_dir):
-    """documents ∪ near-duplicate mutations (deterministic): each doc gets a
-    sibling with the first 10 chars dropped — drives the near-dup ops."""
-    docs = _table(spark, sf_dir, "documents").select("doc_id", "text")
-    mut = docs.selectExpr("concat(doc_id, '000000') AS doc_id",
-                          "substr(text, 11) AS text")
-    return docs.selectExpr("cast(doc_id as string) AS doc_id", "text") \
-        .unionByName(mut)
-
-
 def q_exact_dedup(spark, sf_dir):
     """Exact dedup: min-id keeper per content digest + group size."""
     from hidden_characters_detector_spark.operators import dedup
@@ -657,19 +647,149 @@ def _o_ann_topk():
     FROM s ORDER BY round(cos, 6) DESC, vec_id LIMIT 10"""
 
 
-# --- rows-only checks (not ANSI-SQL-expressible: LSH/banding internals) -----
+# --- full-algorithm DuckDB oracles for the hash-sketch dedup family --------
+#
+# The minhash/simhash operators are pure functions of (text, seed): the
+# shingle hash is a Horner polynomial over codepoints with wraparound mod
+# 2^64, the 64 permutations are seeded affine maps mod M61, the simhash is
+# a per-bit majority vote.  All of that is expressible in DuckDB SQL —
+# HUGEINT (128-bit) holds every intermediate (acc*B < 2^104, a*h < 2^125),
+# stepwise ``% 2^64`` mirrors numpy's uint64 wraparound, and the seeded
+# constants are embedded as literals generated by the SAME numpy calls the
+# kernel makes.  So the oracle replicates the ACTUAL algorithm, not a
+# fixture-specific approximation — natural near-dups in the corpus agree by
+# construction, and est_jaccard / hamming are verified value-for-value.
+
+_M64 = "18446744073709551616"          # 2^64 (numpy uint64 wraparound)
+_M61S = "2305843009213693951"          # (1<<61)-1, the permutation modulus
+_HB = "1099511628211"                  # rolling-hash base (FNV prime)
+
+
+def _o_shingle_hash_expr(k: int) -> str:
+    """Horner rolling hash of the k-char shingle starting at position i,
+    mirroring dedup._flat_shingle_hashes: acc = (acc*B + cp) wrap 2^64."""
+    expr = (f"CAST(unicode(substr(text, CAST(i AS INTEGER), 1)) "
+            f"AS HUGEINT)")
+    for j in range(1, k):
+        expr = (f"((({expr}) * {_HB} + CAST(unicode(substr(text, "
+                f"CAST(i + {j} AS INTEGER), 1)) AS HUGEINT)) % {_M64})")
+    return expr
+
+
+def _mutated_docs(spark, sf_dir):
+    """documents ∪ near-duplicate mutations (deterministic): each doc ≥15
+    chars gets a sibling with the first 10 chars dropped — drives the
+    near-dup sketch ops with real mixed-similarity structure (exact-style
+    high-Jaccard twins AND whatever natural template near-dups the corpus
+    carries; the full-algorithm oracles agree on all of them by
+    construction).  The ≥15 guard keeps every doc at ≥1 shingle, so the
+    oracle needs no empty-set special case."""
+    docs = _table(spark, sf_dir, "documents").select("doc_id", "text")
+    mut = docs.where(F.length("text") >= 15).selectExpr(
+        "concat(doc_id, '000000') AS doc_id", "substr(text, 11) AS text")
+    return docs.selectExpr("cast(doc_id as string) AS doc_id", "text") \
+        .unionByName(mut)
+
+
+_FIXTURE_MUTATED_SQL = """
+      SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id || '000000' AS doc_id, substr(text, 11) AS text
+      FROM documents WHERE length(text) >= 15"""
+
+
 def q_minhash_near_dups(spark, sf_dir):
-    """MinHash+LSH near-dup pairs over documents ∪ mutated siblings."""
+    """Banded MinHash-LSH near-dup pairs (est_jaccard ≥ 0.5), hash-matched
+    value-for-value against a DuckDB oracle that REPLICATES the algorithm:
+    same rolling shingle hashes, same 64 seeded permutations, same
+    16-band/4-row collision rule, same signature-agreement estimate (see
+    ``_o_minhash_near_dups``)."""
     from hidden_characters_detector_spark.operators import dedup
     return dedup.minhash_lsh_pairs(_mutated_docs(spark, sf_dir),
                                    jaccard_threshold=0.5)
 
 
+def _o_minhash_near_dups(num_perm: int = 64, bands: int = 16,
+                         shingle_k: int = 5, threshold: float = 0.5):
+    import numpy as np
+
+    from hidden_characters_detector_spark.operators.dedup import _M61
+
+    # the SAME seeded draws minhash_signatures(seed=42) makes
+    rng = np.random.default_rng(42)
+    a = rng.integers(1, int(_M61), num_perm, dtype=np.uint64)
+    b = rng.integers(0, int(_M61), num_perm, dtype=np.uint64)
+    # per-permutation min over shingles of ((a*h mod 2^64) + b mod 2^64)
+    # mod M61 — numpy wraps each op at 2^64 before the final % M61
+    sig_cols = ", ".join(
+        f"min((({int(a[i])} * h) % {_M64} + {int(b[i])}) % {_M64} "
+        f"% {_M61S}) AS s{i}"
+        for i in range(num_perm))
+    matches = " + ".join(
+        f"CASE WHEN x.s{i} = y.s{i} THEN 1 ELSE 0 END"
+        for i in range(num_perm))
+    rows_per_band = num_perm // bands
+    band_hit = " OR ".join(
+        "(" + " AND ".join(f"x.s{j} = y.s{j}"
+                           for j in range(bb * rows_per_band,
+                                          (bb + 1) * rows_per_band)) + ")"
+        for bb in range(bands))
+    return f"""
+    WITH u AS ({_FIXTURE_MUTATED_SQL}),
+    hs AS (
+      SELECT doc_id, {_o_shingle_hash_expr(shingle_k)} AS h
+      FROM u, unnest(range(1, length(text) - {shingle_k - 2})) AS t(i)),
+    sigs AS (SELECT doc_id, {sig_cols} FROM hs GROUP BY doc_id)
+    SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+           round(({matches}) / {float(num_perm)}, 4) AS est_jaccard
+    FROM sigs x JOIN sigs y ON x.doc_id < y.doc_id
+    WHERE ({band_hit})
+      AND ({matches}) / {float(num_perm)} >= {threshold}"""
+
+
 def q_simhash_near_dups(spark, sf_dir):
-    """SimHash near-dup pairs over documents ∪ mutated siblings."""
+    """SimHash near-dup pairs (Hamming ≤ 3 via 4×16-bit band pigeonhole),
+    hash-matched value-for-value against a DuckDB oracle that replicates
+    the fingerprint: same distinct shingle hashes, same per-bit majority
+    vote, same Hamming verify (see ``_o_simhash_near_dups``)."""
     from hidden_characters_detector_spark.operators import dedup
     return dedup.simhash_near_dups(_mutated_docs(spark, sf_dir),
                                    max_hamming=3)
+
+
+def _o_simhash_near_dups(shingle_k: int = 4, max_hamming: int = 3):
+    # 64-bit fingerprint as two BIGINT halves (DuckDB bit ops are
+    # BIGINT-native); bit t set ⟺ strict majority of DISTINCT shingle
+    # hashes have bit t set — exactly simhash_fingerprints' vote.  The
+    # banding stage needs no oracle: pigeonhole makes it lossless for
+    # hamming ≤ 3, and the engine's final Hamming filter is replicated
+    # below, so candidates == all-pairs here.
+    lo_bits = " + ".join(
+        f"(CASE WHEN 2 * sum(CAST((lo >> {t}) & 1 AS BIGINT)) > count(*) "
+        f"THEN {1 << t} ELSE 0 END)" for t in range(32))
+    hi_bits = " + ".join(
+        f"(CASE WHEN 2 * sum(CAST((hi >> {t}) & 1 AS BIGINT)) > count(*) "
+        f"THEN {1 << t} ELSE 0 END)" for t in range(32))
+    return f"""
+    WITH u AS ({_FIXTURE_MUTATED_SQL}),
+    hs AS (
+      SELECT DISTINCT doc_id,
+             {_o_shingle_hash_expr(shingle_k)} AS h
+      FROM u, unnest(range(1, length(text) - {shingle_k - 2})) AS t(i)),
+    split AS (
+      SELECT doc_id, CAST(h % 4294967296 AS BIGINT) AS lo,
+             CAST(h // 4294967296 AS BIGINT) AS hi
+      FROM hs),
+    fp AS (
+      SELECT doc_id, CAST({lo_bits} AS BIGINT) AS fp_lo,
+             CAST({hi_bits} AS BIGINT) AS fp_hi
+      FROM split GROUP BY doc_id)
+    SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+           CAST(bit_count(xor(x.fp_lo, y.fp_lo))
+                + bit_count(xor(x.fp_hi, y.fp_hi)) AS INTEGER) AS hamming
+    FROM fp x JOIN fp y ON x.doc_id < y.doc_id
+    WHERE bit_count(xor(x.fp_lo, y.fp_lo))
+          + bit_count(xor(x.fp_hi, y.fp_hi)) <= {max_hamming}"""
 
 
 def _planted_embeddings(spark, sf_dir):
@@ -690,10 +810,16 @@ def _planted_embeddings(spark, sf_dir):
 
 def q_embedding_near_dups(spark, sf_dir):
     """Embedding-cosine near-dup pairs within LSH buckets, over the corpus
-    with planted scaled siblings (full oracle: exact all-pairs cosine)."""
+    with planted scaled siblings (full oracle: exact all-pairs cosine).
+    ``nbits`` is auto-sized from the corpus (``similarity.auto_nbits``) so
+    bucket occupancy stays ~constant as the corpus scales; planted siblings
+    share their source's bucket at ANY nbits (positive scaling preserves
+    every hyperplane sign), and the fixture-guard pytest
+    (``test_embedding_near_dups_fixture_guard``) asserts the corpus carries
+    no natural ≥0.99 pair that pruning could miss."""
     from hidden_characters_detector_spark.operators import similarity
     out = similarity.pairwise_cosine_in_buckets(
-        _planted_embeddings(spark, sf_dir), nbits=12, min_cosine=0.99)
+        _planted_embeddings(spark, sf_dir), min_cosine=0.99)
     return out.select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
 
 
@@ -763,23 +889,103 @@ def _o_verified_near_dups():
     FROM p WHERE CAST(i AS DOUBLE) / (la + lb - i) >= 0.85"""
 
 
+def _fingerprint_docs(spark, sf_dir):
+    """documents ∪ planted fingerprint siblings: an exact duplicate per doc
+    (same text ⇒ every fp column equal), a shared-prefix twin (same first-64
+    chars ⇒ same fp_prefix), and a shared-suffix twin (same last-64 chars ⇒
+    same fp_suffix) — the fixture that makes every equality-group below
+    non-vacuous."""
+    docs = _table(spark, sf_dir, "documents").selectExpr(
+        "cast(doc_id as string) AS doc_id", "text")
+    dup = docs.selectExpr("doc_id || '_dup' AS doc_id", "text")
+    pre = docs.where(F.length("text") >= 128).selectExpr(
+        "doc_id || '_pre' AS doc_id",
+        "substr(text, 1, 64) || ' PFXTAIL ' || doc_id AS text")
+    suf = docs.where(F.length("text") >= 128).selectExpr(
+        "doc_id || '_suf' AS doc_id",
+        "'SFXHEAD ' || doc_id || ' ' || substr(text, length(text) - 63)"
+        " AS text")
+    return docs.unionByName(dup).unionByName(pre).unionByName(suf)
+
+
 def q_fingerprints(spark, sf_dir):
-    """xxhash64 content fingerprints (no DuckDB-compatible hash: rows-only).
-    """
+    """Content fingerprints verified as HASH-INDEPENDENT equality groups:
+    raw xxhash64 values cannot be reproduced in DuckDB, but the *semantics*
+    can — same text ⟺ same fp_xxh64, same first-64 chars ⟺ same fp_prefix,
+    same last-64 chars ⟺ same fp_suffix (collisions are 2^-64).  Each fp
+    column is re-keyed to ``min(doc_id)`` over its fp group; the oracle
+    derives the identical groups from text equality.  ``grp_all`` groups by
+    the FULL fingerprint tuple (including the Arrow-kernel
+    ``fp_shingle_min``), so a nondeterministic / partition-dependent kernel
+    value would split a text-equality group and fail the hash-match.  Raw
+    winnowing robustness (shared minimal window across edits) stays in
+    pytest (``test_fingerprints``)."""
+    from pyspark.sql import Window
+
     from hidden_characters_detector_spark.operators import text_analysis
-    docs = _table(spark, sf_dir, "documents").select("doc_id", "text")
-    return text_analysis.fingerprints(docs)
+    fps = text_analysis.fingerprints(_fingerprint_docs(spark, sf_dir))
+    return fps.select(
+        "doc_id",
+        F.min("doc_id").over(Window.partitionBy("fp_xxh64"))
+        .alias("grp_content"),
+        F.min("doc_id").over(Window.partitionBy("fp_prefix"))
+        .alias("grp_prefix"),
+        F.min("doc_id").over(Window.partitionBy("fp_suffix"))
+        .alias("grp_suffix"),
+        F.min("doc_id").over(Window.partitionBy(
+            "fp_xxh64", "fp_prefix", "fp_suffix", "fp_shingle_min"))
+        .alias("grp_all"))
+
+
+_FP_FIXTURE_SQL = """
+      SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents
+      UNION ALL
+      SELECT CAST(doc_id AS VARCHAR) || '_dup' AS doc_id, text
+      FROM documents
+      UNION ALL
+      SELECT CAST(doc_id AS VARCHAR) || '_pre' AS doc_id,
+             substr(text, 1, 64) || ' PFXTAIL ' || CAST(doc_id AS VARCHAR)
+                 AS text
+      FROM documents WHERE length(text) >= 128
+      UNION ALL
+      SELECT CAST(doc_id AS VARCHAR) || '_suf' AS doc_id,
+             'SFXHEAD ' || CAST(doc_id AS VARCHAR) || ' '
+                 || substr(text, length(text) - 63) AS text
+      FROM documents WHERE length(text) >= 128"""
+
+
+def _o_fingerprints():
+    # Spark's substring(text, -64, 64) returns the WHOLE text when
+    # length < 64 (verified empirically), so the suffix key mirrors that
+    return f"""
+    WITH u AS ({_FP_FIXTURE_SQL}),
+    keyed AS (
+      SELECT doc_id, text AS k_content, substr(text, 1, 64) AS k_prefix,
+             CASE WHEN length(text) <= 64 THEN text
+                  ELSE substr(text, length(text) - 63) END AS k_suffix
+      FROM u)
+    SELECT doc_id,
+           min(doc_id) OVER (PARTITION BY k_content) AS grp_content,
+           min(doc_id) OVER (PARTITION BY k_prefix) AS grp_prefix,
+           min(doc_id) OVER (PARTITION BY k_suffix) AS grp_suffix,
+           min(doc_id) OVER (PARTITION BY k_content) AS grp_all
+    FROM keyed"""
 
 
 def q_ann_topk_lsh(spark, sf_dir):
-    """Sign-LSH bucketed ANN (the scale path for ann_topk): probe buckets
-    within Hamming distance 4 of the query bucket, exact cosine inside.
-    Rows-only check — the bucket pruning is recall<1 by design, so no exact
-    SQL oracle; recall vs brute force is asserted in pytest."""
+    """Sign-LSH bucketed ANN (the scale path for ann_topk), run at the
+    exhaustive-probe contract point: with ``probe_hamming == nbits`` every
+    bucket is probed, so the result is PROVABLY equal to brute-force
+    ``cosine_topk`` and shares its exact SQL oracle — the full bucketing /
+    probe machinery (hyperplane kernel, Hamming bucket filter) still
+    executes.  The production pruned-probe setting (recall<1 by design) is
+    asserted against brute force in pytest
+    (``test_pipeline_ops.test_lsh_topk_recalls_exact_neighbors``,
+    ``test_lsh_exhaustive_probe_equals_brute_force``)."""
     from hidden_characters_detector_spark.operators import similarity
     emb = _table(spark, sf_dir, "embeddings")
     out = similarity.lsh_cosine_topk(emb, _ann_query_vec(), k=10, nbits=12,
-                                     probe_hamming=4)
+                                     probe_hamming=12)
     return out.select("vec_id", F.round("cosine", 4).alias("cosine"))
 
 
@@ -882,8 +1088,12 @@ _EXTRA_ORACLES = {
     "quality": _o_quality,
     "lang_id": _o_lang_id,
     "ann_topk": _o_ann_topk,
+    "ann_topk_lsh": _o_ann_topk,  # exhaustive probe == brute force
     "embedding_near_dups": _o_embedding_near_dups,
     "verified_near_dups": _o_verified_near_dups,
+    "minhash_near_dups": _o_minhash_near_dups,
+    "simhash_near_dups": _o_simhash_near_dups,
+    "fingerprints": _o_fingerprints,
 }
 
 _BASE_QUERIES = queries

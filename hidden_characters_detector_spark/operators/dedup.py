@@ -34,7 +34,7 @@ from typing import Iterator
 import numpy as np
 import pyarrow as pa
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..sources.synth import strings_to_flat_tokens
@@ -47,9 +47,9 @@ _U64_MAX = np.iinfo(np.uint64).max
 def _shingle_hashes(texts: list[str], k: int = 5) -> list[np.ndarray]:
     """Per-doc arrays of DISTINCT 64-bit k-shingle hashes (char shingles).
 
-    Reference implementation (per-doc); the batch hot path uses
-    :func:`_flat_shingle_hashes` — tests assert their parity.  Still used
-    by :func:`ngram_jaccard`, which is inherently pair-local.
+    Reference implementation (per-doc), kept ONLY for parity tests — the
+    batch hot paths (:func:`_minhash_batch`, :func:`simhash_fingerprints`,
+    :func:`_pairwise_jaccard`) all use :func:`_flat_shingle_hashes`.
     """
     out = []
     for t in texts:
@@ -164,17 +164,21 @@ def _lsh_candidates(df: DataFrame, id_col: str, text_col: str, *,
     The band/bucket self-join carries only ``(id, band, band_hash)`` — the
     64-value signatures stay out of the big shuffle (re-attach them after
     pair dedup if needed), moving ~8× fewer bytes than shipping signatures
-    through every band row.  ``materialize`` eagerly localCheckpoints the
-    signature table so the shingle/minhash kernel runs once (at production
-    scale the signature table is written out once and reused — this is the
-    single-job analog).
+    through every band row.  ``materialize`` marks the signature table
+    persisted (MEMORY_AND_DISK) so the shingle/minhash kernel runs once
+    across the band branch and the signature re-attach branch.  Persist is
+    lazy (no job at plan-construction time) and recoverable — a lost
+    executor recomputes the deterministic seeded kernel, unlike
+    ``localCheckpoint`` whose blocks are unrecoverable on executor loss.
+    At production scale the signature table is written out once (its own
+    Iceberg table) and reused; persist is the single-job analog.
     """
     rows_per_band = num_perm // bands
     sig = minhash_signatures(df.select(id_col, text_col), text_col,
                              num_perm=num_perm, seed=seed) \
         .select(id_col, "minhash")
     if materialize:
-        sig = sig.localCheckpoint()
+        sig = sig.persist()
     banded = sig.select(
         id_col,
         F.posexplode(F.transform(
@@ -296,35 +300,62 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id",
     """Exact dedup via content digest: keep min-id doc per distinct text.
 
     Output: (doc_id, content_hash, group_size) for every *kept* doc.
-    Shuffles once on the digest; Catalyst plans a partial/final agg.
+    One hash-agg on the 16-byte digest: Catalyst plans a map-side partial
+    (``partial_min``/``partial_count``) before the single shuffle, so hot
+    duplicate groups collapse to one row per map partition — unlike a
+    window-function formulation, which would sort every group post-shuffle
+    with no partial aggregation.
     """
     h = F.md5(F.col(text_col).cast("binary")).alias("content_hash")
-    w = Window.partitionBy("content_hash")
     return (df.select(id_col, h)
-            .withColumn("group_size", F.count("*").over(w))
-            .withColumn("_rk", F.row_number().over(
-                w.orderBy(id_col)))
-            .where(F.col("_rk") == 1)
-            .select(id_col, "content_hash",
-                    F.col("group_size").cast("long").alias("group_size")))
+            .groupBy("content_hash")
+            .agg(F.min(id_col).alias(id_col),
+                 F.count("*").cast("long").alias("group_size"))
+            .select(id_col, "content_hash", "group_size"))
+
+
+def _pairwise_jaccard(texts_a: pa.Array, texts_b: pa.Array,
+                      k: int) -> np.ndarray:
+    """Exact k-shingle Jaccard for row-aligned text pairs, fully vectorized.
+
+    Both columns are flattened with ONE rolling-hash pass each
+    (:func:`_flat_shingle_hashes`), deduped segment-wise, then intersection
+    sizes come from a single lexsort over the concatenated (row, hash)
+    pairs: each side is distinct per row, so an adjacent duplicate within a
+    row is exactly one shared shingle.  No per-pair Python, no
+    ``to_pylist``.  Pairs where either side has no shingles score 0.0.
+    """
+    ha, oa = _unique_per_doc(*_flat_shingle_hashes(texts_a, k))
+    hb, ob = _unique_per_doc(*_flat_shingle_hashes(texts_b, k))
+    la, lb = np.diff(oa), np.diff(ob)
+    nrows = la.shape[0]
+    rows = np.concatenate([np.repeat(np.arange(nrows, dtype=np.int64), la),
+                           np.repeat(np.arange(nrows, dtype=np.int64), lb)])
+    hh = np.concatenate([ha, hb])
+    order = np.lexsort((hh, rows))
+    r, h = rows[order], hh[order]
+    dup = np.zeros(0, dtype=bool)
+    if h.size > 1:
+        dup = (h[1:] == h[:-1]) & (r[1:] == r[:-1])
+    inter = np.bincount(r[1:][dup], minlength=nrows).astype(np.int64)
+    union = np.maximum(la + lb - inter, 1)
+    return np.where((la > 0) & (lb > 0), inter / union, 0.0)
 
 
 def ngram_jaccard(df_pairs: DataFrame, *, k: int = 5) -> DataFrame:
     """True Jaccard over k-shingle sets for candidate pairs
     (columns text_a, text_b appended -> jaccard double).  Pair-local by
-    construction: runs only on LSH bucket-collision candidates."""
+    construction (runs only on LSH bucket-collision candidates) and batch
+    vectorized (:func:`_pairwise_jaccard` — one flat rolling-hash pass per
+    column + one lexsort, no per-pair Python)."""
     keep = [f.name for f in df_pairs.schema.fields]
     ddl = ", ".join([f"{f.name} {f.dataType.simpleString()}"
                      for f in df_pairs.schema.fields] + ["jaccard double"])
 
     def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
-            ha = _shingle_hashes(batch.column("text_a").to_pylist(), k)
-            hb = _shingle_hashes(batch.column("text_b").to_pylist(), k)
-            jac = np.array([
-                (np.intersect1d(x, y).size / np.union1d(x, y).size)
-                if x.size and y.size else 0.0
-                for x, y in zip(ha, hb)])
+            jac = _pairwise_jaccard(batch.column("text_a"),
+                                    batch.column("text_b"), k)
             yield pa.RecordBatch.from_arrays(
                 [batch.column(c) for c in keep]
                 + [pa.array(jac, type=pa.float64())],

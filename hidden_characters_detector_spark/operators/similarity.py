@@ -58,7 +58,6 @@ def hyperplane_buckets(df: DataFrame, *, vec_col: str = "embedding",
     keep = [f.name for f in df.schema.fields]
     ddl = ", ".join([f"{f.name} {f.dataType.simpleString()}"
                      for f in df.schema.fields] + ["bucket int"])
-    rng = np.random.default_rng(seed)
     planes: dict[int, np.ndarray] = {}
 
     def get_planes(d: int) -> np.ndarray:
@@ -94,6 +93,10 @@ def lsh_cosine_topk(df: DataFrame, query: Sequence[float], *,
     ``probe_hamming`` bits of the query's bucket, then exact cosine top-k.
 
     Recall/scan-fraction tradeoff is (sum of C(nbits, i) for i<=probe)/2^nbits.
+    At ``probe_hamming == nbits`` every bucket is probed, so the result is
+    PROVABLY equal to :func:`cosine_topk` (the exhaustive-probe contract the
+    driver's oracle checks); production uses a small probe radius and trades
+    recall for scan fraction (asserted separately in pytest).
     """
     bucketed = hyperplane_buckets(df, vec_col=vec_col, nbits=nbits, seed=seed)
     qv = np.asarray(list(query), dtype=np.float64)
@@ -106,12 +109,42 @@ def lsh_cosine_topk(df: DataFrame, query: Sequence[float], *,
     return cosine_topk(cand, query, vec_col=vec_col, id_col=id_col, k=k)
 
 
+def auto_nbits(n_vectors: int, *, target_bucket_size: int = 128,
+               min_nbits: int = 2, max_nbits: int = 24) -> int:
+    """Hyperplane count sized to the corpus: expected sign-LSH bucket
+    occupancy is ``n / 2^nbits``, so ``nbits = ceil(log2(n / target))``
+    keeps the within-bucket pairwise join ~``target²/2`` per bucket at ANY
+    corpus size — a fixed nbits degenerates toward quadratic-per-bucket as
+    n grows 100×.  Clamped to [min_nbits, max_nbits] (2^24 buckets is
+    plenty below 10^10 vectors; for more, raise max_nbits or use
+    multi-table OR-construction)."""
+    import math
+
+    if n_vectors <= target_bucket_size:
+        return min_nbits
+    return max(min_nbits, min(max_nbits, math.ceil(
+        math.log2(n_vectors / target_bucket_size))))
+
+
 def pairwise_cosine_in_buckets(df: DataFrame, *, vec_col: str = "embedding",
-                               id_col: str = "vec_id", nbits: int = 12,
+                               id_col: str = "vec_id",
+                               nbits: int | None = None,
+                               n_vectors: int | None = None,
+                               target_bucket_size: int = 128,
                                min_cosine: float = 0.9,
                                seed: int = 42) -> DataFrame:
     """Embedding near-dup pairs: exact cosine, but only within LSH buckets
-    (the embedding-cosine near-dup dedup path)."""
+    (the embedding-cosine near-dup dedup path).
+
+    ``nbits`` defaults to :func:`auto_nbits` over the corpus size so bucket
+    occupancy stays ~``target_bucket_size`` as the corpus scales; pass
+    ``n_vectors`` when the count is already known (table statistics /
+    Iceberg snapshot summary) to skip the count job.
+    """
+    if nbits is None:
+        if n_vectors is None:
+            n_vectors = df.count()
+        nbits = auto_nbits(n_vectors, target_bucket_size=target_bucket_size)
     b = hyperplane_buckets(df.select(id_col, vec_col), vec_col=vec_col,
                            nbits=nbits, seed=seed)
     l, r = b.alias("l"), b.alias("r")

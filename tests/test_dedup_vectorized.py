@@ -90,6 +90,38 @@ def test_simhash_batch_matches_per_doc(k):
     assert np.array_equal(fps, _old_simhash(TEXTS, k))
 
 
+def _old_pairwise_jaccard(texts_a, texts_b, k):
+    """The pre-vectorization per-pair loop (round-2 ngram_jaccard verify
+    stage), kept as the parity reference."""
+    ha = dedup._shingle_hashes(texts_a, k)
+    hb = dedup._shingle_hashes(texts_b, k)
+    return np.array([
+        (np.intersect1d(x, y).size / np.union1d(x, y).size)
+        if x.size and y.size else 0.0
+        for x, y in zip(ha, hb)])
+
+
+@pytest.mark.parametrize("k", [2, 4, 5])
+def test_pairwise_jaccard_matches_per_pair(k):
+    pairs_a = TEXTS
+    pairs_b = list(TEXTS[1:]) + [TEXTS[0]]      # rotated: mixed overlap
+    pairs_a = pairs_a + TEXTS                   # plus identical pairs
+    pairs_b = pairs_b + TEXTS
+    got = dedup._pairwise_jaccard(pa.array(pairs_a, type=pa.string()),
+                                  pa.array(pairs_b, type=pa.string()), k)
+    expect = _old_pairwise_jaccard(pairs_a, pairs_b, k)
+    assert np.allclose(got, expect)
+    # identical non-empty pairs score exactly 1.0
+    for i, t in enumerate(TEXTS):
+        if len(t) >= k:
+            assert got[len(TEXTS) + i] == 1.0
+
+
+def test_pairwise_jaccard_empty_batch():
+    empty = pa.array([], type=pa.string())
+    assert dedup._pairwise_jaccard(empty, empty, 5).shape == (0,)
+
+
 def test_unique_per_doc_null_and_empty():
     arr = pa.array(["abcdefgh", None, ""], type=pa.string())
     flat, offsets = dedup._flat_shingle_hashes(arr, 5)

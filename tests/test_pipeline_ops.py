@@ -98,6 +98,88 @@ def test_lsh_topk_recalls_exact_neighbors(spark):
     assert len(set(exact) & set(approx)) >= 3
 
 
+def test_lsh_exhaustive_probe_equals_brute_force(spark):
+    """With probe_hamming == nbits every bucket is probed, so the bucketed
+    ANN result is provably identical to brute force — the contract that
+    lets q_ann_topk_lsh share the exact SQL oracle."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+    q = emb.limit(1).collect()[0]["embedding"]
+    exact = [tuple(r) for r in similarity.cosine_topk(emb, q, k=10).collect()]
+    exhaustive = [tuple(r) for r in
+                  similarity.lsh_cosine_topk(emb, q, k=10, nbits=12,
+                                             probe_hamming=12).collect()]
+    assert exact == exhaustive
+
+
+def test_auto_nbits_bounds_bucket_size(spark):
+    """auto_nbits keeps max sign-LSH bucket occupancy bounded as the corpus
+    grows 10× — the scaling property that keeps the within-bucket pairwise
+    join ~target²/2 per bucket instead of degenerating toward quadratic
+    (the round-2 fixed-nbits weakness)."""
+    from hidden_characters_detector_spark.operators.similarity import (
+        auto_nbits)
+    target = 64
+    maxes = {}
+    for n in (2_000, 20_000):
+        df = spark.range(n).select(
+            F.col("id").alias("vec_id"),
+            F.array(*[F.rand(seed=j) - F.lit(0.5)
+                      for j in range(16)]).alias("embedding"))
+        nbits = auto_nbits(n, target_bucket_size=target)
+        maxes[n] = (similarity.hyperplane_buckets(df, nbits=nbits)
+                    .groupBy("bucket").count()
+                    .agg(F.max("count")).collect()[0][0])
+    # occupancy stays within a small multiple of target at BOTH sizes —
+    # 10x the data must not mean 10x the bucket
+    assert maxes[2_000] <= 16 * target
+    assert maxes[20_000] <= 16 * target
+    assert auto_nbits(20_000) > auto_nbits(2_000)
+    # monotone and clamped
+    assert auto_nbits(10) == 2
+    assert auto_nbits(10**12) == 24
+
+
+def test_embedding_near_dups_fixture_guard(spark):
+    """q_embedding_near_dups hash-matches an exact all-pairs oracle; that
+    holds iff (a) engine pairs ⊆ exact pairs (true by construction — exact
+    cosine inside buckets), (b) planted scaled siblings are always recalled
+    (same bucket at any nbits: positive scaling preserves hyperplane
+    signs), and (c) the natural corpus has NO ≥0.99 pair that bucket
+    pruning could miss.  (c) is a corpus assumption — assert it here so a
+    fixture/SF change fails this test loudly instead of flaking the driver
+    gate (ADVICE r2)."""
+    import __spark_entry__ as entrymod
+
+    planted = entrymod._planted_embeddings(spark, SF_DIR).cache()
+    engine = {(r["id_a"], r["id_b"])
+              for r in entrymod.q_embedding_near_dups(spark, SF_DIR)
+              .collect()}
+    l, r = planted.alias("l"), planted.alias("r")
+    dot = F.aggregate(F.zip_with("l.embedding", "r.embedding",
+                                 lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, v: acc + v)
+    norm = (lambda side: F.sqrt(F.aggregate(
+        F.transform(f"{side}.embedding", lambda x: x * x),
+        F.lit(0.0), lambda acc, v: acc + v)))
+    exact = {(row["id_a"], row["id_b"]) for row in
+             (l.join(r, F.col("l.vec_id") < F.col("r.vec_id"))
+              .select(F.col("l.vec_id").alias("id_a"),
+                      F.col("r.vec_id").alias("id_b"),
+                      F.round(dot / (norm("l") * norm("r")), 6)
+                      .alias("cos"))
+              .where(F.col("cos") >= 0.99)).collect()}
+    base_ids = [r["vec_id"] for r in
+                planted.where(F.col("vec_id") < 1_000_000)
+                .select("vec_id").collect()]
+    planted_pairs = {(v, v + 1_000_000) for v in base_ids if v % 5 == 0}
+    assert engine <= exact                       # (a) no false positives
+    assert planted_pairs <= engine               # (b) planted recall = 1
+    assert exact == planted_pairs, (             # (c) corpus assumption
+        "natural >=0.99 cosine pairs appeared; the exact-oracle "
+        "hash-match for embedding_near_dups is no longer recall-safe")
+    assert engine == exact
+
+
 def test_bucketed_pairwise_cosine(spark, docs):
     rows = [(i, [float(i % 3 == 0), 1.0, float(i) / 10, 0.5])
             for i in range(30)]

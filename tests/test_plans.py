@@ -91,14 +91,21 @@ def test_bucketed_join_avoids_shuffle(spark, tmp_path):
         spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
 
 
-def test_exact_dedup_single_shuffle(spark):
-    """exact_dedup shuffles once on the digest: both window functions share
-    one hashpartitioning(content_hash) exchange."""
+def test_exact_dedup_single_shuffle_with_partial_agg(spark):
+    """exact_dedup shuffles once on the digest AND gets genuine map-side
+    partial aggregation (partial min/count before the exchange) — duplicate
+    groups collapse to one row per map partition, no post-shuffle sort."""
     from hidden_characters_detector_spark.operators import dedup
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").selectExpr(
         "cast(doc_id as string) doc_id", "text")
     plan = _plan(dedup.exact_dedup(docs))
     assert plan.count("Exchange hashpartitioning(content_hash") == 1
+    # partial (map-side) + final aggregate; Spark plans SortAggregate here
+    # because min(string) needs an immutable buffer — the scale property is
+    # the partial_min/partial_count BEFORE the exchange
+    assert plan.count("Aggregate(key=[content_hash") >= 2
+    assert "partial_min" in plan
+    assert "Window" not in plan  # no window formulation (no partial agg)
 
 
 def test_lsh_band_join_carries_no_signatures(spark):
