@@ -111,6 +111,11 @@ def read_sink(spark, out_dir: str) -> DataFrame:
         os.path.join(out_dir, "batch_id=*"))
 
 
+def _gen_files(out_dir: str, gen_name: str) -> int:
+    gen_dir = os.path.join(out_dir, gen_name)
+    return len([f for f in os.listdir(gen_dir) if f.endswith(".parquet")])
+
+
 def compact_sink(spark, out_dir: str, *,
                  target_rows_per_file: int = 1_000_000) -> dict:
     """Compact the per-batch sink directories (small-files maintenance).
@@ -118,75 +123,110 @@ def compact_sink(spark, out_dir: str, *,
     A streaming sink that commits one directory per micro-batch accumulates
     many small files — the classic small-files problem that degrades scan
     parallelism and NameNode/listing pressure at scale.  This rewrites all
-    committed ``batch_id=N`` partitions into one bin-packed generation
+    *committed* ``batch_id=N`` partitions into one bin-packed generation
     directory, then atomically publishes it:
 
-    1. read every committed batch partition (footer-exact row count);
-    2. rewrite into ``ceil(rows / target_rows_per_file)`` files under a
-       temp dir, carrying ``batch_id`` as a data column (lineage kept);
-    3. ``os.replace`` the temp dir to ``gen-<up_to>`` and atomically write
-       ``_compaction.json`` (the publish point — readers switch over in
-       one rename, like the reference's temp-file commit);
-    4. delete the superseded batch directories and their manifests.
+    1. garbage-collect everything the PREVIOUS compaction superseded (its
+       input batch dirs — including post-crash replays of batches ≤ its
+       compaction point, which :func:`read_sink` masks — and any
+       generation directory other than the published one);
+    2. select input batches: ``batch_id=N`` dirs with N above the previous
+       compaction point AND a ``_manifest_batch_N.json`` present — the
+       manifest is written only after a completed ``foreachBatch``, so an
+       in-flight partially-written batch is never folded in;
+    3. short-circuit (no rewrite, no deletes) when there are no new
+       committed batches;
+    4. rewrite inputs + the previous generation into
+       ``ceil(rows / target_rows_per_file)`` files under a temp dir
+       (``batch_id`` carried as a data column — lineage kept), then
+       ``os.replace`` to ``gen-<seq>`` where ``seq`` increments per
+       compaction — generation names are UNIQUE, so no live directory is
+       ever removed before the publish;
+    5. atomically replace ``_compaction.json`` (the publish point —
+       readers switch over in one rename, like the reference's temp-file
+       commit).  The superseded inputs are NOT deleted here: they are
+       retained until the NEXT compaction (step 1), so any reader whose
+       scan was planned against the pre-publish layout keeps a full
+       one-generation grace window.
 
-    Batches newer than the compaction point keep arriving as ``batch_id=N``
-    dirs and are unioned by :func:`read_sink`; the streaming query itself
-    never replays a batch at or below a committed compaction point (the
-    checkpoint WAL is ahead of it), so overwrite-by-batch-id semantics are
-    unaffected.  (With Iceberg jars this whole function is
-    ``rewrite_data_files``.)  Returns {"up_to", "rows", "files"}.
+    Concurrency contract: safe alongside an *appending* streaming query
+    (new batches land above the compaction point; in-flight first writes
+    are excluded by the manifest gate).  It must NOT race a crash-replay
+    that overwrites a batch ≤ the new compaction point — run it post-drain
+    (``availableNow``, as ``run_pipeline --compact`` does) or in a
+    maintenance window with the query checkpoint-committed.  (With Iceberg
+    jars this whole function is ``rewrite_data_files``; snapshot isolation
+    then removes the maintenance-window caveat.)
+    Returns {"up_to", "rows", "files", "gen_seq"}.
     """
     import math
     import shutil
 
-    dirs = _batch_dirs(out_dir)
     comp_meta = os.path.join(out_dir, "_compaction.json")
     prev = None
     if os.path.exists(comp_meta):
         with open(comp_meta) as f:
             prev = json.load(f)
-        dirs = [d for d in dirs if int(d.split("=", 1)[1]) > prev["up_to"]]
-    if not dirs and prev is None:
-        return {"up_to": -1, "rows": 0, "files": 0}
-    up_to = max((int(d.split("=", 1)[1]) for d in dirs),
-                default=prev["up_to"] if prev else -1)
+    prev_up_to = prev["up_to"] if prev else -1
 
-    df = None
-    if dirs:
-        df = spark.read.option("basePath", out_dir).parquet(
-            *[os.path.join(out_dir, d) for d in dirs])
     if prev is not None:
-        old_gen = spark.read.parquet(os.path.join(out_dir, prev["dir"]))
-        df = old_gen if df is None else df.unionByName(old_gen)
+        # step 1: GC everything superseded by the PREVIOUS compaction —
+        # retained inputs, post-crash replayed batches <= its point, and
+        # stale/orphan generation dirs from crashed runs
+        for d in _batch_dirs(out_dir):
+            if int(d.split("=", 1)[1]) <= prev_up_to:
+                shutil.rmtree(os.path.join(out_dir, d), ignore_errors=True)
+                manifest = os.path.join(
+                    out_dir, f"_manifest_batch_{d.split('=', 1)[1]}.json")
+                if os.path.exists(manifest):
+                    os.remove(manifest)
+        for d in os.listdir(out_dir):
+            if (d.startswith("gen-") and d != prev["dir"]
+                    and os.path.isdir(os.path.join(out_dir, d))):
+                shutil.rmtree(os.path.join(out_dir, d), ignore_errors=True)
+
+    # step 2: committed inputs only (manifest gate)
+    dirs = [d for d in _batch_dirs(out_dir)
+            if int(d.split("=", 1)[1]) > prev_up_to
+            and os.path.exists(os.path.join(
+                out_dir, f"_manifest_batch_{d.split('=', 1)[1]}.json"))]
+    if not dirs:
+        # step 3: nothing new — never rewrite (and never touch) the
+        # published generation
+        if prev is None:
+            return {"up_to": -1, "rows": 0, "files": 0, "gen_seq": 0}
+        return {"up_to": prev["up_to"], "rows": prev["rows"],
+                "files": _gen_files(out_dir, prev["dir"]),
+                "gen_seq": prev.get("gen_seq", 0)}
+
+    up_to = max(int(d.split("=", 1)[1]) for d in dirs)
+    df = spark.read.option("basePath", out_dir).parquet(
+        *[os.path.join(out_dir, d) for d in dirs])
     rows = sum(parquet_dir_rows(os.path.join(out_dir, d)) for d in dirs)
     if prev is not None:
+        df = df.unionByName(
+            spark.read.parquet(os.path.join(out_dir, prev["dir"])))
         rows += prev["rows"]
+
+    # step 4: rewrite under a unique, never-pre-existing generation name
+    gen_seq = (prev.get("gen_seq", 0) if prev else 0) + 1
+    gen_name = f"gen-{gen_seq:06d}"
+    gen_dir = os.path.join(out_dir, gen_name)
     n_files = max(1, math.ceil(rows / target_rows_per_file))
     tmp = os.path.join(out_dir, "_compact_tmp")
     if os.path.exists(tmp):
         shutil.rmtree(tmp)
     df.repartition(n_files).write.mode("overwrite").parquet(tmp)
-    gen_name = f"gen-{up_to}"
-    gen_dir = os.path.join(out_dir, gen_name)
-    if os.path.exists(gen_dir):
-        shutil.rmtree(gen_dir)
     os.replace(tmp, gen_dir)
+
+    # step 5: atomic publish; superseded inputs retained until next run
     meta_tmp = comp_meta + ".tmp"
     with open(meta_tmp, "w") as f:
-        json.dump({"up_to": up_to, "dir": gen_name, "rows": rows}, f)
-    os.replace(meta_tmp, comp_meta)  # the atomic publish point
-    # garbage-collect superseded inputs (crash before this point only
-    # leaves extra files; readers already switched at the publish)
-    for d in dirs:
-        shutil.rmtree(os.path.join(out_dir, d))
-        manifest = os.path.join(out_dir,
-                                f"_manifest_batch_{d.split('=', 1)[1]}.json")
-        if os.path.exists(manifest):
-            os.remove(manifest)
-    if prev is not None and prev["dir"] != gen_name:
-        shutil.rmtree(os.path.join(out_dir, prev["dir"]), ignore_errors=True)
-    n_out = len([f for f in os.listdir(gen_dir) if f.endswith(".parquet")])
-    return {"up_to": up_to, "rows": rows, "files": n_out}
+        json.dump({"up_to": up_to, "dir": gen_name, "rows": rows,
+                   "gen_seq": gen_seq}, f)
+    os.replace(meta_tmp, comp_meta)
+    return {"up_to": up_to, "rows": rows,
+            "files": _gen_files(out_dir, gen_name), "gen_seq": gen_seq}
 
 
 ICEBERG_PACKAGE = "org.apache.iceberg:iceberg-spark-runtime-4.0_2.13:1.10.0"

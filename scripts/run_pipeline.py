@@ -68,6 +68,26 @@ def main() -> None:
     ap.add_argument("--max-files-per-trigger", type=int, default=None)
     ap.add_argument("--sink", choices=("parquet", "iceberg"),
                     default="parquet")
+    ap.add_argument("--anomalies", action="store_true",
+                    help="also run the stateful CEP query: per-source "
+                         "marker-rate EWMA anomaly detection "
+                         "(applyInPandasWithState); rows land in "
+                         "<output>/anomalies with its own checkpoint")
+    ap.add_argument("--anomaly-threshold", type=float, default=3.0,
+                    help="flag a batch whose rate exceeds this multiple "
+                         "of the per-source EWMA (default 3.0)")
+    ap.add_argument("--anomaly-alpha", type=float, default=0.3)
+    ap.add_argument("--anomaly-min-batches", type=int, default=3)
+    ap.add_argument("--density", choices=("counters", "events"),
+                    default="counters",
+                    help="'counters' (default): per-window density derived "
+                         "from the committed sink's per-sequence counters "
+                         "inside the single-pass foreachBatch; 'events': "
+                         "additionally run the stateful windowed-aggregate "
+                         "path (salted two-phase agg over exploded "
+                         "detection events in the state store) appending "
+                         "watermark-closed windows to "
+                         "<output>/density_events")
     ap.add_argument("--compact", action="store_true",
                     help="after the drain completes, compact the per-batch "
                          "sink dirs into one generation (small-files "
@@ -124,7 +144,53 @@ def main() -> None:
             trigger_available_now=args.available_now,
             query_name="cleaned-sink")
 
+    # optional CEP branches: each is an independent streaming query over
+    # the same source (its own checkpoint/state).  They re-scan the input
+    # rather than piggyback on the single-pass foreachBatch because
+    # stateful operators (applyInPandasWithState / windowed aggs) only
+    # exist on streaming DataFrames; at cluster scale each subscribes to
+    # the same Iceberg table and the clean kernel runs once per
+    # subscribing query (the anomaly branch only materializes the narrow
+    # counter columns).
+    extra = []
+    if args.anomalies:
+        from hidden_characters_detector_spark.sinks.exactly_once import (
+            exactly_once_parquet_sink)
+        tok_a = pipeline.read_token_stream(
+            spark, args.input,
+            max_files_per_trigger=args.max_files_per_trigger)
+        anom = pipeline.marker_rate_anomalies(
+            pipeline.clean_stream(tok_a, cfg),
+            alpha=args.anomaly_alpha, threshold=args.anomaly_threshold,
+            min_batches=args.anomaly_min_batches)
+        extra.append(exactly_once_parquet_sink(
+            anom, os.path.join(args.output, "anomalies"),
+            os.path.join(args.checkpoint, "anomalies"),
+            trigger_available_now=args.available_now,
+            query_name="anomaly-cep"))
+    if args.density == "events":
+        tok_e = pipeline.read_token_stream(
+            spark, args.input,
+            max_files_per_trigger=args.max_files_per_trigger)
+        dens = pipeline.salted_density_windows(
+            pipeline.event_stream(tok_e, cfg), window=args.window)
+        writer = (dens.writeStream.outputMode("append").format("parquet")
+                  .option("path", os.path.join(args.output,
+                                               "density_events"))
+                  .option("checkpointLocation",
+                          os.path.join(args.checkpoint, "density_events"))
+                  .queryName("density-events"))
+        if args.available_now:
+            writer = writer.trigger(availableNow=True)
+        # append mode emits watermark-CLOSED windows only: under a drain
+        # the trailing window stays in state until later data advances the
+        # watermark (resume picks it up) — the counter-derived density in
+        # the main sink is always complete
+        extra.append(writer.start())
+
     q.awaitTermination()
+    for eq in extra:
+        eq.awaitTermination()
     if args.compact and args.sink == "parquet" and args.available_now:
         from hidden_characters_detector_spark.sinks.exactly_once import (
             compact_sink)
@@ -132,6 +198,14 @@ def main() -> None:
                             target_rows_per_file=args.compact_target_rows)
         print(f"COMPACTED up_to={info['up_to']} rows={info['rows']} "
               f"files={info['files']}")
+    if args.anomalies and args.sink == "parquet":
+        from hidden_characters_detector_spark.sinks.exactly_once import (
+            read_sink)
+        adir = os.path.join(args.output, "anomalies")
+        if os.path.isdir(adir):
+            adf = read_sink(spark, adir)
+            print(f"ANOMALY CEP rows={adf.count()} "
+                  f"flagged={adf.where('is_anomaly').count()}")
     n = rec.total_input_rows("cleaned-sink")
     dur = sum(p.get("batchDuration", 0) for p in rec.progress
               if p.get("name") == "cleaned-sink") / 1000.0

@@ -1,0 +1,95 @@
+"""End-to-end CLI test: the spark-submit entry point with the CEP surface
+switched on (``--anomalies --density events``) over a staged token stream.
+
+This is the production-reachability test the stateful operators were
+missing: ``marker_rate_anomalies`` (applyInPandasWithState EWMA, semantic
+spec in ``test_streaming.test_marker_rate_anomalies``) and the salted
+stateful windowed density must be runnable from ``scripts/run_pipeline.py``
+itself, not only from pytest harnesses.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+ZWSP, A = 0x200B, ord("a")
+
+
+def _write_file(spark, rows, path, mtime):
+    from hidden_characters_detector_spark.streaming import pipeline
+
+    df = spark.createDataFrame(rows, pipeline.TOKEN_STREAM_SCHEMA).coalesce(1)
+    tmp = path + "__stage"
+    df.write.mode("overwrite").parquet(tmp)
+    part = next(f for f in os.listdir(tmp)
+                if f.endswith(".parquet") and not f.startswith("_"))
+    os.replace(os.path.join(tmp, part), path + ".parquet")
+    os.utime(path + ".parquet", (mtime, mtime))
+
+
+def test_cli_anomalies_and_event_density(spark, tmp_path):
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    os.makedirs(src)
+    now = time.time()
+
+    def mins(m):
+        return T0 + dt.timedelta(minutes=m)
+
+    # batch 1 (4 seqs, rate 1.0) -> batch 2 burst (rate 4.0 > 1.8x EWMA ->
+    # anomaly) -> batch 3 normal.  Event times stride 20 min so the drain
+    # advances the 10-min watermark and the event-density append sink
+    # closes at least window [0,1) (watermark from batch N-1 applies at N).
+    _write_file(spark, [(f"n{j}", [A, ZWSP], 2, "web", mins(0))
+                        for j in range(4)],
+                os.path.join(src, "f0"), now - 300)
+    _write_file(spark, [("burst", [ZWSP] * 4, 4, "web", mins(20))],
+                os.path.join(src, "f1"), now - 200)
+    _write_file(spark, [("tail", [A, ZWSP], 2, "web", mins(40))],
+                os.path.join(src, "f2"), now - 100)
+
+    env = dict(os.environ, SPARK_GRAFT_SHUFFLE="2")
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "run_pipeline.py"),
+         "--input", src, "--output", out, "--checkpoint", ck,
+         "--master", "local[2]", "--max-files-per-trigger", "1",
+         "--anomalies", "--anomaly-threshold", "1.8",
+         "--anomaly-alpha", "0.5", "--anomaly-min-batches", "1",
+         "--density", "events"],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=600)
+    assert proc.returncode == 0, proc.stderr[-4000:]
+    # (the listener-derived rows= count can miss the final progress event
+    # at shutdown — the durable sink below is the authoritative check)
+    assert "PIPELINE DONE" in proc.stdout
+    assert "ANOMALY CEP rows=3 flagged=1" in proc.stdout
+
+    from hidden_characters_detector_spark.sinks.exactly_once import read_sink
+
+    assert read_sink(spark, os.path.join(out, "cleaned")).count() == 6
+
+    anom = {(r["source"], r["n_batches_seen"]): r for r in
+            read_sink(spark, os.path.join(out, "anomalies")).collect()}
+    assert len(anom) == 3                      # one row per (source, batch)
+    assert anom[("web", 2)]["is_anomaly"]      # the burst batch flagged
+    assert not anom[("web", 1)]["is_anomaly"]
+    assert not anom[("web", 3)]["is_anomaly"]
+    assert anom[("web", 2)]["rate"] == 4.0
+
+    # stateful event-density appended at least the closed [0,1) window
+    dens = spark.read.parquet(os.path.join(out, "density_events"))
+    rows = {r["window_start"]: r["n_detections"] for r in dens.collect()}
+    assert rows.get(T0) == 4                   # 4 ZWSP detections @ min 0
+
+    # and the default counter-derived density (main sink) is complete
+    from hidden_characters_detector_spark.streaming import pipeline
+
+    total = pipeline.read_density(spark, out).agg(
+        {"n_detections": "sum"}).collect()[0][0]
+    assert total == 9                          # 4 + 4 + 1 markers

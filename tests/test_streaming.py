@@ -565,11 +565,19 @@ def test_compact_sink(spark, tmp_path):
     before = sorted(r["doc_id"] for r in read_sink(spark, out).collect())
     assert len(before) == 20
 
+    # plan a reader against the PRE-compaction layout; collect it after —
+    # the one-generation retention window keeps its input files alive
+    pre_planned = read_sink(spark, out)
+
     info = compact_sink(spark, out, target_rows_per_file=10)
     assert info["rows"] == 20 and info["files"] == 2
-    assert not [d for d in os.listdir(out) if d.startswith("batch_id=")]
+    assert info["gen_seq"] == 1
+    # superseded inputs are RETAINED until the next compaction (in-flight
+    # reader grace window), but read_sink already masks them
+    assert [d for d in os.listdir(out) if d.startswith("batch_id=")]
     after = sorted(r["doc_id"] for r in read_sink(spark, out).collect())
     assert after == before
+    assert sorted(r["doc_id"] for r in pre_planned.collect()) == before
 
     # new batches after compaction union in at read time
     _write_file(spark, [_row("m_new", [ZWSP], "web", _mins(9))],
@@ -583,11 +591,64 @@ def test_compact_sink(spark, tmp_path):
     assert with_new.count() == 21
     assert with_new.where("doc_id = 'm_new'").count() == 1
 
-    # second compaction folds the previous generation + the new batch
+    # second compaction folds the previous generation + the new batch,
+    # GCs the first compaction's retained inputs + superseded generation
     info2 = compact_sink(spark, out, target_rows_per_file=1000)
     assert info2["rows"] == 21 and info2["files"] == 1
+    assert info2["gen_seq"] == 2
+    left = [d for d in os.listdir(out) if d.startswith("batch_id=")]
+    assert all(int(d.split("=", 1)[1]) > info["up_to"] for d in left)
+    gens = [d for d in os.listdir(out) if d.startswith("gen-")]
+    assert "gen-000001" in gens                 # retained one generation
     assert read_sink(spark, out).count() == 21
     assert read_sink(spark, out).select("doc_id").distinct().count() == 21
+
+    # third compaction: no new committed batches -> short-circuit, the
+    # published generation is untouched (no rewrite/delete window at all)
+    gen2 = os.path.join(out, "gen-000002")
+    mtimes = {f: os.path.getmtime(os.path.join(gen2, f))
+              for f in os.listdir(gen2)}
+    info3 = compact_sink(spark, out, target_rows_per_file=1000)
+    assert info3["gen_seq"] == 2 and info3["rows"] == 21
+    assert mtimes == {f: os.path.getmtime(os.path.join(gen2, f))
+                      for f in os.listdir(gen2)}
+
+
+def test_compact_sink_skips_uncommitted_batch(spark, tmp_path):
+    """The manifest gate: a batch_id dir WITHOUT its manifest (an in-flight
+    or crashed-mid-write batch) is never folded into a generation, and a
+    post-crash replay of an already-compacted batch id is masked by
+    read_sink and garbage-collected by the next compaction."""
+    from hidden_characters_detector_spark.sinks.exactly_once import (
+        compact_sink, write_batch_partition)
+
+    out = str(tmp_path / "out")
+    os.makedirs(out)
+    df = spark.createDataFrame([("d0", 1), ("d1", 2)], "doc_id string, v int")
+    write_batch_partition(df, 0, out)
+    write_batch_partition(df.where("v = 1"), 1, out)
+    # batch 2 "in flight": partition dir exists, manifest not yet written
+    write_batch_partition(df, 2, out)
+    os.remove(os.path.join(out, "_manifest_batch_2.json"))
+
+    info = compact_sink(spark, out, target_rows_per_file=1000)
+    assert info["up_to"] == 1 and info["rows"] == 3
+    # the in-flight batch stays a live batch dir above the compaction
+    # point; once its manifest lands it unions in at read time
+    assert read_sink(spark, out).count() == 5
+    write_batch_partition(df, 2, out)
+    assert read_sink(spark, out).count() == 5  # overwrite, not duplicate
+
+    # crash-replay of compacted batch 1 (manifest + dir reappear) is
+    # masked at read time and GC'd by the next compaction
+    write_batch_partition(df.where("v = 1"), 1, out)
+    assert read_sink(spark, out).count() == 5
+    info2 = compact_sink(spark, out, target_rows_per_file=1000)
+    assert info2["up_to"] == 2 and info2["rows"] == 5
+    info3 = compact_sink(spark, out, target_rows_per_file=1000)
+    assert info3["rows"] == 5
+    assert not os.path.exists(os.path.join(out, "batch_id=1"))
+    assert read_sink(spark, out).count() == 5
 
 
 def test_marker_rate_anomalies(spark, tmp_path):
