@@ -991,9 +991,13 @@ def q_ann_topk_lsh(spark, sf_dir):
 
 def q_multimodal_features(spark, sf_dir):
     """Multimodal plumbing end-to-end: attach binary media + typed metadata
-    to documents, decode to feature vectors (deterministic fake — container
-    ships no codecs), sample video frames, aggregate per kind.  Rows-only:
-    exercises the schema/Arrow fan-out/partition-independence contract."""
+    to documents, decode to feature vectors inside the Arrow kernel
+    (deterministic PORTABLE fake — container ships no codecs, see
+    ``multimodal.decode_images``), sample video frames from the metadata,
+    aggregate per doc.  Fully oracle-checked: the fake payload/meta/feature
+    math is md5-hex + ascii arithmetic that DuckDB reproduces exactly
+    (``_o_multimodal_features``), so the frame fan-out count AND the
+    decoded feature values are verified value-for-value."""
     from hidden_characters_detector_spark.operators import multimodal
     docs = _table(spark, sf_dir, "documents").select("doc_id")
     media = multimodal.attach_fake_media(docs, kind="video")
@@ -1004,6 +1008,40 @@ def q_multimodal_features(spark, sf_dir):
                  F.round(F.sum(F.element_at("img_features", 1)), 4)
                  .alias("feat0_sum"))
             .orderBy("doc_id").limit(200))
+
+
+def _o_multimodal_features(out_dim: int = 8, every_n: int = 24,
+                           seed: int = 42):
+    # the fake payload is the utf8 bytes of md5(doc_id || '|seed'), so
+    # byte k of the payload == ascii(substr(hex, k+1, 1)); features are
+    # 4-byte big-endian ints centered mod 65536, unit-normalized with
+    # left-associative accumulation — replicated here term by term
+    def a(k):  # ascii code of payload byte k (0-based)
+        return f"ascii(substr(hx, {k + 1}, 1))"
+
+    raws = [f"((({a(4 * j)} * 256 + {a(4 * j + 1)}) * 256 "
+            f"+ {a(4 * j + 2)}) * 256 + {a(4 * j + 3)})"
+            for j in range(out_dim)]
+    vs = [f"(CAST({r} % 65536 AS DOUBLE) - 32768.0)" for r in raws]
+    norm = vs[0] + " * " + vs[0]
+    for v in vs[1:]:
+        norm = f"({norm} + {v} * {v})"
+    return f"""
+    WITH m AS (
+      SELECT doc_id,
+             md5(CAST(doc_id AS VARCHAR) || '|{seed}') AS hx
+      FROM documents),
+    d AS (
+      SELECT doc_id,
+             ({a(0)} * 256 + {a(1)}) % 240 + 1 AS n_frames,
+             {vs[0]} / (CASE WHEN sqrt({norm}) = 0 THEN 1.0
+                             ELSE sqrt({norm}) END) AS feat0
+      FROM m)
+    SELECT doc_id,
+           CAST((n_frames - 1) // {every_n} + 1 AS BIGINT)
+               AS n_sampled_frames,
+           round(((n_frames - 1) // {every_n} + 1) * feat0, 4) AS feat0_sum
+    FROM d ORDER BY doc_id LIMIT 200"""
 
 
 # portable SQL (identical in Spark SQL and DuckDB): plant PII into a
@@ -1094,6 +1132,7 @@ _EXTRA_ORACLES = {
     "minhash_near_dups": _o_minhash_near_dups,
     "simhash_near_dups": _o_simhash_near_dups,
     "fingerprints": _o_fingerprints,
+    "multimodal_features": _o_multimodal_features,
 }
 
 _BASE_QUERIES = queries

@@ -13,7 +13,7 @@ Schema conventions:
 * ``media: binary`` — the opaque payload;
 * ``media_meta: struct<kind string, width int, height int, sample_rate int,
   n_frames int>`` — typed metadata travelling with the payload;
-* feature columns are fixed-size float arrays (Arrow FixedSizeList) so
+* feature columns are fixed-size float64 arrays (Arrow FixedSizeList) so
   downstream ANN/similarity operators apply unchanged.
 """
 
@@ -33,33 +33,50 @@ MEDIA_META_DDL = ("media_meta struct<kind:string, width:int, height:int, "
 
 def attach_fake_media(df: DataFrame, id_col: str = "doc_id", *,
                       kind: str = "image", seed: int = 42) -> DataFrame:
-    """Test fixture: deterministic binary payload + metadata per row
-    (payload bytes derive from xxhash64(id), so any partitioning yields the
-    same table)."""
-    h = F.xxhash64(F.concat(F.col(id_col).cast("string"), F.lit(str(seed))))
-    payload = F.sha2(h.cast("string"), 256).cast("binary")
+    """Test fixture: deterministic binary payload + metadata per row.
+
+    The payload is the utf8 bytes of ``md5(id || '|' || seed)`` and the
+    metadata ints derive from ascii codes of its hex chars — PORTABLE
+    expressions (md5 hex + ascii + modulo exist identically in Spark SQL
+    and DuckDB), so the whole multimodal pipeline is replicable by the
+    driver's SQL oracle while staying a pure function of the row id
+    (partitioning-independent)."""
+    hx = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f"|{seed}")))
+
+    def hx_int(pos: int, n: int):
+        # big-endian int from ascii codes of hex chars [pos, pos+n)
+        v = F.lit(0)
+        for j in range(n):
+            v = v * 256 + F.ascii(F.substring(hx, pos + j + 1, 1))
+        return v
+
     meta = F.struct(
         F.lit(kind).alias("kind"),
-        (F.pmod(h, F.lit(512)) + 32).cast("int").alias("width"),
-        (F.pmod(h, F.lit(256)) + 32).cast("int").alias("height"),
+        (F.pmod(hx_int(2, 2), F.lit(512)) + 32).cast("int").alias("width"),
+        (F.pmod(hx_int(4, 2), F.lit(256)) + 32).cast("int").alias("height"),
         F.lit(16000).alias("sample_rate"),
-        (F.pmod(h, F.lit(240)) + 1).cast("int").alias("n_frames"))
-    return df.withColumn("media", payload).withColumn("media_meta", meta)
+        (F.pmod(hx_int(0, 2), F.lit(240)) + 1).cast("int").alias("n_frames"))
+    return (df.withColumn("media", hx.cast("binary"))
+            .withColumn("media_meta", meta))
 
 
 def decode_images(df: DataFrame, *, out_dim: int = 8,
                   deterministic_fake: bool = False,
                   media_col: str = "media") -> DataFrame:
-    """binary image -> feature vector ``img_features: array<float>``.
+    """binary image -> feature vector ``img_features: array<double>``.
 
     Real implementation would decode via PIL/opencv inside the Arrow batch;
-    the container has neither, so only the deterministic fake path runs
-    (features = seeded hash of payload bytes, unit-normalized).
+    the container has neither, so only the deterministic fake path runs.
+    The fake is PORTABLE arithmetic over the payload bytes (4-byte
+    big-endian ints, centered mod 65536, unit-normalized in float64 with a
+    fixed left-associative summation) so DuckDB reproduces the exact
+    values — the Arrow fan-out, schema, and batch shape are the real
+    plumbing a codec would plug into.
     """
     keep = [f.name for f in df.schema.fields]
     ddl = ", ".join([f"{f.name} {f.dataType.simpleString()}"
                      for f in df.schema.fields]
-                    + ["img_features array<float>"])
+                    + ["img_features array<double>"])
 
     def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
@@ -68,16 +85,26 @@ def decode_images(df: DataFrame, *, out_dim: int = 8,
                 raise NotImplementedError(
                     "image codec not available in this container; pass "
                     "deterministic_fake=True for the plumbing path")
-            feats = np.zeros((len(blobs), out_dim), dtype=np.float32)
+            feats = np.zeros((len(blobs), out_dim), dtype=np.float64)
             for i, b in enumerate(blobs):
                 if b is None:
                     continue
-                seed = int.from_bytes(bytes(b)[:8] or b"\0", "little")
-                v = np.random.default_rng(seed).standard_normal(out_dim)
-                feats[i] = (v / (np.linalg.norm(v) or 1.0)).astype(np.float32)
+                bb = np.frombuffer(bytes(b), dtype=np.uint8).astype(
+                    np.float64)
+                need = 4 * out_dim
+                if bb.size < need:
+                    bb = np.resize(bb, need)  # cyclic pad, deterministic
+                raw = (((bb[0:need:4] * 256 + bb[1:need:4]) * 256
+                        + bb[2:need:4]) * 256 + bb[3:need:4])
+                v = np.mod(raw, 65536.0) - 32768.0
+                norm = 0.0
+                for x in v:           # fixed left-assoc order (= the SQL)
+                    norm += x * x
+                norm = float(np.sqrt(norm)) or 1.0
+                feats[i] = v / norm
             fl = pa.FixedSizeListArray.from_arrays(
-                pa.array(feats.ravel(), type=pa.float32()), out_dim
-            ).cast(pa.list_(pa.float32()))
+                pa.array(feats.ravel(), type=pa.float64()), out_dim
+            ).cast(pa.list_(pa.float64()))
             yield pa.RecordBatch.from_arrays(
                 [batch.column(c) for c in keep] + [fl],
                 names=keep + ["img_features"])
@@ -105,7 +132,7 @@ def sample_frames(df: DataFrame, *, every_n: int = 24,
 def resample_audio(df: DataFrame, *, target_rate: int = 16000,
                    deterministic_fake: bool = False,
                    media_col: str = "media") -> DataFrame:
-    """binary audio -> ``audio_features: array<float>`` (stubbed codec)."""
+    """binary audio -> ``audio_features: array<double>`` (stubbed codec)."""
     if not deterministic_fake:
         raise NotImplementedError(
             "audio codec not available in this container; pass "

@@ -264,7 +264,7 @@ def test_multimodal_plumbing(spark, docs):
     for r in n:
         assert r["count"] == (meta[r["doc_id"]] - 1) // 24 + 1
     audio = multimodal.resample_audio(media, deterministic_fake=True)
-    assert dict(audio.dtypes)["audio_features"] == "array<float>"
+    assert dict(audio.dtypes)["audio_features"] == "array<double>"
 
 
 def test_fingerprints_long_doc_bounded(spark):
