@@ -908,6 +908,112 @@ def _fingerprint_docs(spark, sf_dir):
     return docs.unionByName(dup).unionByName(pre).unionByName(suf)
 
 
+# portable md5-digit hash-unit (mirrors operators.sampling.hash_unit)
+def _o_hash_unit(id_expr: str, salt) -> str:
+    def dig(k):
+        a = f"ascii(substr(md5({id_expr} || '|{salt}'), {k + 1}, 1))"
+        return f"(CASE WHEN {a} <= 57 THEN {a} - 48 ELSE {a} - 87 END)"
+
+    v = f"CAST({dig(0)} AS BIGINT)"
+    for i in range(1, 8):
+        v = f"({v} * 16 + {dig(i)})"
+    return f"(CAST({v} AS DOUBLE) / 4294967296.0)"
+
+
+def q_train_test_split(spark, sf_dir):
+    """Deterministic hash-based train/test split (80/20): pure function of
+    doc_id, partitioning-independent, zero-shuffle (codegen projection);
+    the oracle evaluates the identical md5-digit arithmetic."""
+    from hidden_characters_detector_spark.operators import sampling
+    docs = _table(spark, sf_dir, "documents").select("doc_id")
+    return sampling.train_test_split(docs, train_frac=0.8, salt=42)
+
+
+def _o_train_test_split():
+    u = _o_hash_unit("CAST(doc_id AS VARCHAR)", 42)
+    return f"""
+    SELECT doc_id,
+           CASE WHEN {u} < 0.8 THEN 'train' ELSE 'test' END AS split
+    FROM documents"""
+
+
+# per-stratum fractions: vary by source index so stratification is
+# non-vacuous (src0 keeps 10%, src7 keeps 80%, cycling)
+_STRATA_FRACTIONS = {f"src{i}": (1 + (i % 8)) / 10.0 for i in range(20)}
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Per-stratum deterministic Bernoulli downsampling (the curation
+    rebalancing step): keep fraction varies per source; kept rows are a
+    pure function of doc_id — the oracle recomputes the same decision."""
+    from hidden_characters_detector_spark.operators import sampling
+    docs = _table(spark, sf_dir, "documents").select("doc_id", "source")
+    return sampling.stratified_sample(docs, _STRATA_FRACTIONS, salt=43)
+
+
+def _o_stratified_sample():
+    u = _o_hash_unit("CAST(doc_id AS VARCHAR)", 43)
+    case = "CASE " + " ".join(
+        f"WHEN source = '{s}' THEN {p!r}"
+        for s, p in sorted(_STRATA_FRACTIONS.items())) + " ELSE 0.0 END"
+    return f"""
+    SELECT doc_id, source FROM documents WHERE {u} < ({case})"""
+
+
+def q_dedup_groups(spark, sf_dir):
+    """End-to-end near-dup GROUPING (the step after pair generation):
+    LSH → exact-Jaccard verify → connected components (iterative min-label
+    propagation as DataFrame joins) → canonical keeper per group.  Oracle:
+    DuckDB computes the same exact-Jaccard pair graph and its TRUE
+    transitive closure with a recursive CTE, so the engine's iterative
+    convergence is verified against genuine reachability — components,
+    sizes, and keeper election all hash-matched."""
+    from hidden_characters_detector_spark.operators import dedup
+    return dedup.dedup_groups(_mutated_long_docs(spark, sf_dir),
+                              jaccard_threshold=0.85)
+
+
+def _o_dedup_groups():
+    # the pair CTEs are forced MATERIALIZED: inside WITH RECURSIVE, DuckDB
+    # would otherwise re-inline the all-pairs Jaccard join into both edge
+    # directions (measured ~5x slower)
+    return """
+    WITH RECURSIVE unioned AS MATERIALIZED (
+      SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id || '000000' AS doc_id, substr(text, 11) AS text
+      FROM documents WHERE length(text) >= 200),
+    sh AS MATERIALIZED (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, length(text) - 3),
+                 i -> substr(text, CAST(i AS INTEGER), 5))) AS s
+      FROM unioned),
+    p AS MATERIALIZED (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sh a JOIN sh b
+        ON a.doc_id < b.doc_id
+       AND least(len(a.s), len(b.s)) >= 0.85 * greatest(len(a.s), len(b.s))
+       AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+           / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+           >= 0.85),
+    edges AS MATERIALIZED (
+      SELECT doc_a AS src, doc_b AS dst FROM p
+      UNION
+      SELECT doc_b AS src, doc_a AS dst FROM p),
+    walk(node, reach) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, w.reach FROM edges e JOIN walk w ON e.dst = w.node),
+    comp AS (
+      SELECT node, min(reach) AS group_id FROM walk GROUP BY node),
+    sized AS (
+      SELECT group_id, CAST(count(*) AS BIGINT) AS group_size
+      FROM comp GROUP BY group_id)
+    SELECT c.node AS doc_id, c.group_id, s.group_size,
+           c.node = c.group_id AS is_canonical
+    FROM comp c JOIN sized s USING (group_id)"""
+
+
 def q_fingerprints(spark, sf_dir):
     """Content fingerprints verified as HASH-INDEPENDENT equality groups:
     raw xxhash64 values cannot be reproduced in DuckDB, but the *semantics*
@@ -1115,7 +1221,10 @@ _EXTRA_QUERIES = {
     "simhash_near_dups": q_simhash_near_dups,
     "embedding_near_dups": q_embedding_near_dups,
     "verified_near_dups": q_verified_near_dups,
+    "dedup_groups": q_dedup_groups,
     "fingerprints": q_fingerprints,
+    "train_test_split": q_train_test_split,
+    "stratified_sample": q_stratified_sample,
 }
 
 _EXTRA_ORACLES = {
@@ -1129,10 +1238,13 @@ _EXTRA_ORACLES = {
     "ann_topk_lsh": _o_ann_topk,  # exhaustive probe == brute force
     "embedding_near_dups": _o_embedding_near_dups,
     "verified_near_dups": _o_verified_near_dups,
+    "dedup_groups": _o_dedup_groups,
     "minhash_near_dups": _o_minhash_near_dups,
     "simhash_near_dups": _o_simhash_near_dups,
     "fingerprints": _o_fingerprints,
     "multimodal_features": _o_multimodal_features,
+    "train_test_split": _o_train_test_split,
+    "stratified_sample": _o_stratified_sample,
 }
 
 _BASE_QUERIES = queries

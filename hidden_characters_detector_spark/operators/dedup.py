@@ -388,3 +388,94 @@ def verified_near_dups(df: DataFrame, id_col: str = "doc_id",
             .where(F.col("jaccard") >= jaccard_threshold)
             .select("doc_a", "doc_b",
                     F.round("jaccard", 6).alias("jaccard")))
+
+
+def connected_components(pairs: DataFrame, *, a_col: str = "doc_a",
+                         b_col: str = "doc_b", max_iter: int = 20
+                         ) -> DataFrame:
+    """Connected components over the near-dup pair graph — the clustering
+    step a real dedup pipeline runs AFTER pair generation (pairs say "a
+    duplicates b"; the pipeline needs GROUPS and one canonical keeper per
+    group).
+
+    Iterative min-label propagation expressed as DataFrame ops: every node
+    starts labeled with itself; each round joins the current labels across
+    the (symmetrized) edge set and takes the min of a node's own label and
+    its neighbors' labels; convergence is reached when no label changes —
+    O(graph diameter) rounds, and near-dup graphs are shallow (clusters of
+    mutual near-dups), so a handful of shuffles on (node) each round.  Each
+    iteration's result is persisted and the previous one unpersisted, so
+    the lineage (and recovery cost) stays one round deep — the standard
+    iterative-algorithm discipline on Spark.  At 100 TB scale the same loop
+    runs unchanged: every round is a partial-agged ``groupBy(node).min``,
+    no driver-side data beyond the convergence counter.
+
+    Returns (node, component) — component is the min node id reachable.
+    """
+    edges = (pairs.select(F.col(a_col).alias("src"),
+                          F.col(b_col).alias("dst"))
+             .unionByName(pairs.select(F.col(b_col).alias("src"),
+                                       F.col(a_col).alias("dst")))
+             .distinct())
+    edges = edges.persist()
+    cached = (edges.select(F.col("src").alias("node")).distinct()
+              .withColumn("component", F.col("node"))).persist()
+    labels = cached
+    for _ in range(max_iter):
+        neighbor_min = (edges
+                        .join(labels.withColumnRenamed("node", "dst"), "dst")
+                        .groupBy("src")
+                        .agg(F.min("component").alias("nbr_component")))
+        # carry the old label through the update so the convergence check
+        # is a filter over the SAME cached round result — no extra join job
+        joined = (labels.withColumnRenamed("component", "old")
+                  .join(neighbor_min.withColumnRenamed("src", "node"),
+                        "node", "left")
+                  .select("node", "old",
+                          F.least("old", F.coalesce("nbr_component", "old"))
+                          .alias("component"))).persist()
+        changed = joined.where(F.col("old") != F.col("component")).count()
+        cached.unpersist()
+        cached = joined
+        labels = joined.select("node", "component")
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            "(graph diameter exceeds max_iter)")
+    edges.unpersist()
+    return labels
+
+
+def dedup_groups(df: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text", *, shingle_k: int = 5,
+                 jaccard_threshold: float = 0.85,
+                 num_perm: int = 64, bands: int = 16,
+                 seed: int = 42) -> DataFrame:
+    """End-to-end near-dup GROUPING: LSH candidates → exact-Jaccard verify
+    → connected components → one canonical keeper per group.
+
+    Output: (doc_id, group_id, group_size, is_canonical) for every doc that
+    belongs to a near-dup group of size ≥ 2 (singletons carry no dedup
+    action and are omitted — at corpus scale they are the overwhelming
+    majority, so emitting only grouped docs keeps the result tiny).
+    group_id is the lexicographically smallest member; the keeper is that
+    same doc (min-id policy, matching :func:`exact_dedup`).
+    """
+    # persist the verified pair set: the CC symmetrization reads it twice
+    # and every propagation round joins against it — without this the
+    # LSH+verify pipeline would re-run per round
+    pairs = verified_near_dups(df, id_col, text_col, shingle_k=shingle_k,
+                               jaccard_threshold=jaccard_threshold,
+                               num_perm=num_perm, bands=bands,
+                               seed=seed).persist()
+    comp = connected_components(pairs)
+    sizes = comp.groupBy("component").agg(
+        F.count("*").cast("long").alias("group_size"))
+    return (comp.join(sizes, "component")
+            .select(F.col("node").alias(id_col),
+                    F.col("component").alias("group_id"),
+                    "group_size",
+                    (F.col("node") == F.col("component"))
+                    .alias("is_canonical")))

@@ -1,0 +1,55 @@
+"""Deterministic sampling / splitting for training-data pipelines.
+
+Train/test splits and per-stratum downsampling at 100 TB must be pure
+functions of the row id — ``df.sample()`` is seed+partitioning dependent,
+so re-running after a repartition (or on a different cluster size) would
+move rows across splits.  These operators hash the id to a uniform unit
+value with PORTABLE SQL arithmetic (md5 hex digits decoded positionally),
+so results are stable under any partitioning, reproducible across engines
+(the driver's DuckDB oracle evaluates the identical expression), and need
+no shuffle at all — a sampling decision is a stateless projection that
+whole-stage codegen fuses into the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def hash_unit(id_col: str | Column, salt: int | str) -> Column:
+    """Uniform [0, 1) value from the first 8 hex digits of
+    ``md5(id || '|' || salt)`` — exact in float64 (integer / 2^32)."""
+    col = F.col(id_col) if isinstance(id_col, str) else id_col
+    hx = F.md5(F.concat(col.cast("string"), F.lit(f"|{salt}")))
+    v = F.lit(0).cast("long")  # 8 hex digits exceed int32 (ANSI overflow)
+    for i in range(8):
+        a = F.ascii(F.substring(hx, i + 1, 1))
+        v = v * 16 + F.when(a <= 57, a - 48).otherwise(a - 87)
+    return v.cast("double") / F.lit(4294967296.0)
+
+
+def train_test_split(df: DataFrame, id_col: str = "doc_id", *,
+                     train_frac: float = 0.8,
+                     salt: int | str = 42) -> DataFrame:
+    """Add ``split: string`` ('train'/'test') — deterministic per id."""
+    u = hash_unit(id_col, salt)
+    return df.withColumn(
+        "split", F.when(u < F.lit(train_frac), F.lit("train"))
+        .otherwise(F.lit("test")))
+
+
+def stratified_sample(df: DataFrame, fractions: dict[str, float], *,
+                      strata_col: str = "source", id_col: str = "doc_id",
+                      default_frac: float = 0.0,
+                      salt: int | str = 43) -> DataFrame:
+    """Keep a per-stratum deterministic Bernoulli sample: row kept iff
+    ``hash_unit(id) < fractions[stratum]`` (strata not listed use
+    ``default_frac``).  The rebalancing step of a curation pipeline —
+    e.g. downsample over-represented sources — with zero shuffle and
+    partition-independent output."""
+    frac = F.lit(float(default_frac))
+    for stratum, p in sorted(fractions.items()):
+        frac = F.when(F.col(strata_col) == stratum,
+                      F.lit(float(p))).otherwise(frac)
+    return df.where(hash_unit(id_col, salt) < frac)

@@ -76,28 +76,52 @@ def stage_stream_files(path: str) -> int:
         spark.stop()
 
 
-def run_streaming(spark, src: str, workdir: str) -> float:
+def run_streaming(spark, src: str, workdir: str, *,
+                  continuous: bool = False,
+                  files_per_trigger: int = 8) -> float:
     from hidden_characters_detector_spark.streaming import pipeline
 
     if os.path.exists(workdir):
         shutil.rmtree(workdir)
     t0 = time.perf_counter()
-    q = pipeline.single_pass_pipeline(
-        spark, src, os.path.join(workdir, "out"),
-        os.path.join(workdir, "ck"), query_name="bench-pipeline")
-    q.awaitTermination()
+    if continuous:
+        # continuous deployment shape: default processing-time trigger
+        # (micro-batches back-to-back), input metered to files_per_trigger
+        # per micro-batch; processAllAvailable() bounds the run at full
+        # drain.  Default 8 files/trigger = production-shaped batches that
+        # amortize this VM's ~19 s/batch fault-handler floor at 8 workers
+        # (see BENCH/BASELINE.md decomposition)
+        q = pipeline.single_pass_pipeline(
+            spark, src, os.path.join(workdir, "out"),
+            os.path.join(workdir, "ck"), query_name="bench-pipeline",
+            trigger_available_now=False,
+            max_files_per_trigger=files_per_trigger)
+        try:
+            q.processAllAvailable()
+            assert q.exception() is None
+        finally:
+            q.stop()
+    else:
+        q = pipeline.single_pass_pipeline(
+            spark, src, os.path.join(workdir, "out"),
+            os.path.join(workdir, "ck"), query_name="bench-pipeline")
+        q.awaitTermination()
     return time.perf_counter() - t0
 
 
 def measure(cpus: int, src: str, nrows: int, runs: int = 3,
-            max_runs: int = 5) -> dict:
+            max_runs: int = 5, *, continuous: bool = False,
+            files_per_trigger: int = 8) -> dict:
     spark = build(cpus)
     try:
         work = f"/tmp/hcd_stream_bench_{cpus}"
-        run_streaming(spark, src, work)  # warmup
+        run_streaming(spark, src, work, continuous=continuous,
+                      files_per_trigger=files_per_trigger)  # warmup
         times = []
         for _ in range(max_runs):
-            times.append(run_streaming(spark, src, work))
+            times.append(run_streaming(
+                spark, src, work, continuous=continuous,
+                files_per_trigger=files_per_trigger))
             tail = times[-runs:]
             if (len(tail) == runs and (max(tail) - min(tail))
                     < 0.25 * statistics.median(tail)):
@@ -111,33 +135,60 @@ def measure(cpus: int, src: str, nrows: int, runs: int = 3,
         spark.stop()
 
 
-def main() -> None:
-    src = "/tmp/hcd_stream_corpus"
-    nrows = stage_stream_files(src)
-    small = measure(2, src, nrows)
-    big = measure(8, src, nrows)
+def bench_mode(src: str, nrows: int, *, continuous: bool,
+               files_per_trigger: int = 8) -> dict:
+    small = measure(2, src, nrows, continuous=continuous,
+                    files_per_trigger=files_per_trigger)
+    big = measure(8, src, nrows, continuous=continuous,
+                  files_per_trigger=files_per_trigger)
     eff = big["rows_per_sec"] / (4 * small["rows_per_sec"])
-    result = {"mode": "streaming", "rows": nrows, "small": small,
+    mode = "continuous" if continuous else "availableNow"
+    result = {"mode": f"streaming-{mode}", "rows": nrows, "small": small,
               "big": big, "scaling_efficiency": round(eff, 3),
               "meets_0.8": eff >= 0.8}
+    detail = (
+        f"default processing-time trigger metered at {files_per_trigger} "
+        f"files/micro-batch ({N_FILES // files_per_trigger} sustained "
+        "micro-batches), bounded by processAllAvailable()"
+        if continuous else
+        "availableNow drain trigger")
     with open("BENCH/BASELINE.md", "a") as f:
         f.write(f"""
 
-## Streaming-mode throughput (single-pass pipeline, availableNow)
+## Streaming-mode throughput (single-pass pipeline, {mode})
 
 Full Structured Streaming execution — ONE query: clean -> exactly-once sink
 + counter-derived density partials (kernel runs once per micro-batch), cold
-checkpoint per run, {nrows:,} sequences staged as {N_FILES} stream files:
+checkpoint per run, {detail}, {nrows:,} sequences staged as {N_FILES}
+stream files:
 
 | config | run times (s) | median (s) | throughput (seq/s) |
 |---|---|---|---|
 | local[2] (N) | {small['times_s']} | {small['median_s']} | {small['rows_per_sec']:,} |
 | local[8] (4N) | {big['times_s']} | {big['median_s']} | {big['rows_per_sec']:,} |
 
-Streaming scaling efficiency = **{result['scaling_efficiency']}**
+Streaming ({mode}) scaling efficiency = **{result['scaling_efficiency']}**
 ({"MEETS" if result['meets_0.8'] else "DOES NOT MEET"} >= 0.8).
 """)
-    print(json.dumps(result))
+    return result
+
+
+def main() -> None:
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mode", choices=("availablenow", "continuous", "both"),
+                    default="both")
+    args = ap.parse_args()
+    src = "/tmp/hcd_stream_corpus"
+    nrows = stage_stream_files(src)
+    results = []
+    if args.mode in ("availablenow", "both"):
+        results.append(bench_mode(src, nrows, continuous=False))
+    if args.mode in ("continuous", "both"):
+        results.append(bench_mode(src, nrows, continuous=True))
+    for r in results:
+        print(json.dumps(r))
 
 
 if __name__ == "__main__":

@@ -66,6 +66,46 @@ def test_simhash_near_dups(spark, docs):
     assert ("a1", "a3") in pairs
 
 
+def test_connected_components_chain_and_groups(spark):
+    """Min-label propagation finds TRANSITIVE near-dup groups: a chain
+    a-b, b-c, c-d is one component even though (a,d) is not a pair; two
+    disjoint components keep distinct labels; convergence is detected."""
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"),     # chain, diameter 3
+         ("x", "y"),                             # separate 2-clique
+         ("m", "z"), ("m", "n")],                # star
+        "doc_a string, doc_b string")
+    comp = {r["node"]: r["component"] for r in
+            dedup.connected_components(pairs).collect()}
+    assert comp == {"a": "a", "b": "a", "c": "a", "d": "a",
+                    "x": "x", "y": "x",
+                    "m": "m", "z": "m", "n": "m"}
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(pairs, max_iter=1)
+
+
+def test_dedup_groups_end_to_end(spark):
+    """LSH -> verify -> components -> canonical keeper: near-identical doc
+    triple collapses to ONE group with the min-id canonical; unrelated and
+    singleton docs are omitted."""
+    base = ("the streaming engine cleans token sequences and aggregates "
+            "window densities per source with salted two phase plans "
+            "under watermarks and exactly once sinks at corpus scale " * 3)
+    docs = spark.createDataFrame(
+        [("g1", base + "tail one"), ("g2", base + "tail two"),
+         ("g3", base + "tail three"),
+         ("solo", "completely unrelated text about nothing in particular "
+                  "that matches no other document in this tiny corpus")],
+        "doc_id string, text string")
+    out = {r["doc_id"]: r for r in
+           dedup.dedup_groups(docs, jaccard_threshold=0.8).collect()}
+    assert set(out) == {"g1", "g2", "g3"}       # solo omitted
+    assert all(r["group_id"] == "g1" and r["group_size"] == 3
+               for r in out.values())
+    assert out["g1"]["is_canonical"]
+    assert not out["g2"]["is_canonical"] and not out["g3"]["is_canonical"]
+
+
 def test_cosine_topk_matches_numpy(spark):
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     rows = emb.limit(200).collect()
@@ -299,6 +339,32 @@ def test_redact_pii(spark):
     assert out["p2"]["text_redacted"] == "no pii here at all"
     assert out["p2"]["n_email"] == 0
     assert out["p3"]["text_redacted"] == ""
+
+
+def test_sampling_deterministic_and_partition_independent(spark):
+    """Hash-based split/sample is a pure function of the id: identical
+    under repartitioning (df.sample would NOT be), fractions land near
+    target, and strata obey their own fractions."""
+    from hidden_characters_detector_spark.operators import sampling
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet") \
+        .select("doc_id", "source")
+    s1 = {r["doc_id"]: r["split"] for r in
+          sampling.train_test_split(docs).collect()}
+    s2 = {r["doc_id"]: r["split"] for r in
+          sampling.train_test_split(docs.repartition(7)).collect()}
+    assert s1 == s2
+    frac = sum(v == "train" for v in s1.values()) / len(s1)
+    assert 0.6 < frac < 0.95                     # ~0.8 at tiny n
+    # stratified: a 0-fraction stratum is empty, a 1.0 stratum complete
+    kept = sampling.stratified_sample(
+        docs, {"src0": 0.0, "src1": 1.0}, salt=7)
+    by_src = {r["source"]: r["cnt"] for r in
+              kept.groupBy("source").agg(
+                  F.count("*").alias("cnt")).collect()}
+    n_src1 = docs.where("source = 'src1'").count()
+    assert "src0" not in by_src
+    assert by_src.get("src1") == n_src1
 
 
 def test_top_ngrams_tiny_docs(spark):
