@@ -131,6 +131,35 @@ def test_lsh_band_join_carries_no_signatures(spark):
         assert "minhash" not in out_cols
 
 
+def test_sampling_is_zero_shuffle_projection(spark):
+    """Deterministic hash sampling must plan as a pure codegen projection
+    over the scan — no Exchange, no UDF: at 100 TB a sampling decision
+    that shuffled (or left codegen) would dominate the job."""
+    from hidden_characters_detector_spark.operators import sampling
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet") \
+        .select("doc_id", "source")
+    for df in (sampling.train_test_split(docs),
+               sampling.stratified_sample(docs, {"src0": 0.5})):
+        plan = _plan(df)
+        assert "Exchange" not in plan
+        assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+        # '*(n)' prefixes mark whole-stage-codegen stages in the tree
+        # string: split is a codegen Project, sample a codegen Filter
+        assert "*(1) Project" in plan or "*(1) Filter" in plan
+
+
+def test_connected_components_round_count_on_cliques(spark):
+    """Near-dup clusters are cliques (mutual similarity), so min-label
+    propagation must converge in 2 rounds (1 propagating + 1 fixpoint
+    check) regardless of clique size — the property that keeps the
+    iterative shuffle count constant at corpus scale."""
+    from hidden_characters_detector_spark.operators import dedup
+    rows = [(f"k{i}", f"k{j}") for i in range(8) for j in range(i + 1, 8)]
+    pairs = spark.createDataFrame(rows, "doc_a string, doc_b string")
+    comp = dedup.connected_components(pairs, max_iter=2)  # must suffice
+    assert {r["component"] for r in comp.collect()} == {"k0"}
+
+
 def test_partition_pruning_reaches_scan(spark, tmp_path):
     """A source-partitioned table scanned with a source filter prunes
     partitions at plan time (PartitionFilters, not a post-scan Filter) —
