@@ -682,8 +682,11 @@ def _mutated_docs(spark, sf_dir):
     near-dup sketch ops with real mixed-similarity structure (exact-style
     high-Jaccard twins AND whatever natural template near-dups the corpus
     carries; the full-algorithm oracles agree on all of them by
-    construction).  The ≥15 guard keeps every doc at ≥1 shingle, so the
-    oracle needs no empty-set special case."""
+    construction).  Shingle-less docs need no special case on EITHER side:
+    the operators exclude them from candidacy (no similarity signal — see
+    ``_lsh_candidates``/``simhash_near_dups``) and the oracles' shingle
+    CTEs produce no row for them, so both engines drop them identically
+    whatever the corpus length distribution."""
     docs = _table(spark, sf_dir, "documents").select("doc_id", "text")
     mut = docs.where(F.length("text") >= 15).selectExpr(
         "concat(doc_id, '000000') AS doc_id", "substr(text, 11) AS text")

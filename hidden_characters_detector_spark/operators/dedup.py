@@ -166,17 +166,29 @@ def _lsh_candidates(df: DataFrame, id_col: str, text_col: str, *,
     pair dedup if needed), moving ~8× fewer bytes than shipping signatures
     through every band row.  ``materialize`` marks the signature table
     persisted (MEMORY_AND_DISK) so the shingle/minhash kernel runs once
-    across the band branch and the signature re-attach branch.  Persist is
-    lazy (no job at plan-construction time) and recoverable — a lost
-    executor recomputes the deterministic seeded kernel, unlike
-    ``localCheckpoint`` whose blocks are unrecoverable on executor loss.
-    At production scale the signature table is written out once (its own
-    Iceberg table) and reused; persist is the single-job analog.
+    across the band branch and the signature re-attach branch (measured:
+    without it the band self-join plans the kernel twice — no
+    ReusedExchange).  Persist is lazy (no job at plan-construction time)
+    and recoverable — a lost executor recomputes the deterministic seeded
+    kernel, unlike ``localCheckpoint`` whose blocks are unrecoverable on
+    executor loss.  The cached table lives until the session ends or the
+    caller unpersists the returned ``sig`` handle; under memory pressure
+    MEMORY_AND_DISK blocks spill rather than grow the heap.  Pass
+    ``materialize=False`` to trade one extra kernel pass for zero cache
+    footprint.  At production scale the signature table is written out
+    once (its own Iceberg table) and reused; persist is the single-job
+    analog.
     """
     rows_per_band = num_perm // bands
     sig = minhash_signatures(df.select(id_col, text_col), text_col,
                              num_perm=num_perm, seed=seed) \
         .select(id_col, "minhash")
+    # docs with NO shingles (shorter than shingle_k) keep the all-U64MAX
+    # init signature, which is int64 -1 after the cast — real permutation
+    # values are < 2^61, so -1 is unambiguous.  Such docs carry zero
+    # similarity signal but would band-collide with every other empty doc
+    # at est_jaccard 1.0; exclude them from candidacy entirely.
+    sig = sig.where(F.element_at("minhash", 1) != F.lit(-1))
     if materialize:
         sig = sig.persist()
     banded = sig.select(
@@ -256,9 +268,12 @@ def simhash_fingerprints(df: DataFrame, text_col: str = "text", *,
                     maj_fp |= (cnt * np.uint64(2) > seg_lens).astype(
                         np.uint64) << np.uint64(bit)
                 fps[nonempty] = maj_fp
+            # docs with no shingles get NULL, not 0: a 0 fingerprint would
+            # read as Hamming-0-identical to every other empty doc
             yield pa.RecordBatch.from_arrays(
                 [batch.column(c) for c in keep]
-                + [pa.array(fps.astype(np.int64), type=pa.int64())],
+                + [pa.array(fps.astype(np.int64), type=pa.int64(),
+                            mask=~nonempty)],
                 names=keep + ["simhash"])
 
     return df.mapInArrow(run, ddl)
@@ -269,9 +284,11 @@ def simhash_near_dups(df: DataFrame, id_col: str = "doc_id", *,
                       ) -> DataFrame:
     """Candidate near-dup pairs by 16-bit simhash band collision, verified
     by Hamming distance (pigeonhole: ≤3 differing bits ⇒ ≥1 of 4 bands
-    equal)."""
+    equal).  Shingle-less docs (NULL fingerprint) are excluded — they have
+    no similarity signal to compare."""
     fp = simhash_fingerprints(df.select(id_col, text_col),
-                              text_col).select(id_col, "simhash")
+                              text_col).select(id_col, "simhash") \
+        .where(F.col("simhash").isNotNull())
     banded = fp.select(
         id_col, "simhash",
         F.explode(F.array(*[
@@ -421,30 +438,42 @@ def connected_components(pairs: DataFrame, *, a_col: str = "doc_a",
     cached = (edges.select(F.col("src").alias("node")).distinct()
               .withColumn("component", F.col("node"))).persist()
     labels = cached
-    for _ in range(max_iter):
-        neighbor_min = (edges
-                        .join(labels.withColumnRenamed("node", "dst"), "dst")
-                        .groupBy("src")
-                        .agg(F.min("component").alias("nbr_component")))
-        # carry the old label through the update so the convergence check
-        # is a filter over the SAME cached round result — no extra join job
-        joined = (labels.withColumnRenamed("component", "old")
-                  .join(neighbor_min.withColumnRenamed("src", "node"),
-                        "node", "left")
-                  .select("node", "old",
-                          F.least("old", F.coalesce("nbr_component", "old"))
-                          .alias("component"))).persist()
-        changed = joined.where(F.col("old") != F.col("component")).count()
+    try:
+        for _ in range(max_iter):
+            neighbor_min = (edges
+                            .join(labels.withColumnRenamed("node", "dst"),
+                                  "dst")
+                            .groupBy("src")
+                            .agg(F.min("component").alias("nbr_component")))
+            # carry the old label through the update so the convergence
+            # check is a filter over the SAME cached round result — no
+            # extra join job
+            joined = (labels.withColumnRenamed("component", "old")
+                      .join(neighbor_min.withColumnRenamed("src", "node"),
+                            "node", "left")
+                      .select("node", "old",
+                              F.least("old",
+                                      F.coalesce("nbr_component", "old"))
+                              .alias("component"))).persist()
+            changed = joined.where(
+                F.col("old") != F.col("component")).count()
+            cached.unpersist()
+            cached = joined
+            labels = joined.select("node", "component")
+            if changed == 0:
+                break
+        else:
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iter} "
+                "rounds (graph diameter exceeds max_iter)")
+    except BaseException:
         cached.unpersist()
-        cached = joined
-        labels = joined.select("node", "component")
-        if changed == 0:
-            break
-    else:
-        raise RuntimeError(
-            f"connected_components did not converge in {max_iter} rounds "
-            "(graph diameter exceeds max_iter)")
-    edges.unpersist()
+        raise
+    finally:
+        edges.unpersist()
+    # the returned labels are backed by the final round's cached result
+    # (already materialized by its convergence count); the caller owns it —
+    # unpersist when done
     return labels
 
 
@@ -471,6 +500,10 @@ def dedup_groups(df: DataFrame, id_col: str = "doc_id",
                                num_perm=num_perm, bands=bands,
                                seed=seed).persist()
     comp = connected_components(pairs)
+    # CC's convergence counts materialized both caches; the labels cache
+    # (owned by our caller via the result's lineage) is all that's still
+    # needed — release the pair set now
+    pairs.unpersist()
     sizes = comp.groupBy("component").agg(
         F.count("*").cast("long").alias("group_size"))
     return (comp.join(sizes, "component")

@@ -171,8 +171,7 @@ def compact_sink(spark, out_dir: str, *,
 
     if prev is not None:
         # step 1: GC everything superseded by the PREVIOUS compaction —
-        # retained inputs, post-crash replayed batches <= its point, and
-        # stale/orphan generation dirs from crashed runs
+        # retained inputs, post-crash replayed batches <= its point
         for d in _batch_dirs(out_dir):
             if int(d.split("=", 1)[1]) <= prev_up_to:
                 shutil.rmtree(os.path.join(out_dir, d), ignore_errors=True)
@@ -180,8 +179,14 @@ def compact_sink(spark, out_dir: str, *,
                     out_dir, f"_manifest_batch_{d.split('=', 1)[1]}.json")
                 if os.path.exists(manifest):
                     os.remove(manifest)
+    # GC unpublished generation dirs from crashed runs — a crash between
+    # the gen-dir rename and the meta publish leaves one; with prev None
+    # EVERY gen dir is unpublished (first-compaction crash), and skipping
+    # this would wedge the retry on a non-empty os.replace target
+    if os.path.isdir(out_dir):
         for d in os.listdir(out_dir):
-            if (d.startswith("gen-") and d != prev["dir"]
+            if (d.startswith("gen-")
+                    and (prev is None or d != prev["dir"])
                     and os.path.isdir(os.path.join(out_dir, d))):
                 shutil.rmtree(os.path.join(out_dir, d), ignore_errors=True)
 

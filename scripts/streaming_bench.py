@@ -179,6 +179,10 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--mode", choices=("availablenow", "continuous", "both"),
                     default="both")
+    ap.add_argument("--files-per-trigger", type=int, default=8,
+                    help="continuous-mode input metering (files per "
+                         "micro-batch); BENCH/BASELINE.md's continuous "
+                         "table was produced with 2 and 8")
     args = ap.parse_args()
     src = "/tmp/hcd_stream_corpus"
     nrows = stage_stream_files(src)
@@ -186,7 +190,8 @@ def main() -> None:
     if args.mode in ("availablenow", "both"):
         results.append(bench_mode(src, nrows, continuous=False))
     if args.mode in ("continuous", "both"):
-        results.append(bench_mode(src, nrows, continuous=True))
+        results.append(bench_mode(src, nrows, continuous=True,
+                                  files_per_trigger=args.files_per_trigger))
     for r in results:
         print(json.dumps(r))
 

@@ -93,3 +93,26 @@ def spark():
          .getOrCreate())
     yield s
     s.stop()
+
+
+def write_stream_file(spark, rows, path, mtime, schema=None):
+    """Write one stream-source *file* for the parquet file source.
+
+    Shared by the streaming and CLI tests: the file source does NOT
+    recurse into non-partition subdirs (CLAUDE.md landmine), so the
+    part-file is promoted up to ``path``.parquet, and the mtime is pinned
+    because the source processes files in modification order.
+    """
+    import os as _os
+
+    if schema is None:
+        from hidden_characters_detector_spark.streaming import pipeline
+        schema = pipeline.TOKEN_STREAM_SCHEMA
+    df = spark.createDataFrame(rows, schema).coalesce(1)
+    tmp = path + "__stage"
+    df.write.mode("overwrite").parquet(tmp)
+    part = next(f for f in _os.listdir(tmp)
+                if f.endswith(".parquet") and not f.startswith("_"))
+    dest = path if path.endswith(".parquet") else path + ".parquet"
+    _os.replace(_os.path.join(tmp, part), dest)
+    _os.utime(dest, (mtime, mtime))

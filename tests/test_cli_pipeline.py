@@ -22,15 +22,9 @@ ZWSP, A = 0x200B, ord("a")
 
 
 def _write_file(spark, rows, path, mtime):
-    from hidden_characters_detector_spark.streaming import pipeline
+    from conftest import write_stream_file
 
-    df = spark.createDataFrame(rows, pipeline.TOKEN_STREAM_SCHEMA).coalesce(1)
-    tmp = path + "__stage"
-    df.write.mode("overwrite").parquet(tmp)
-    part = next(f for f in os.listdir(tmp)
-                if f.endswith(".parquet") and not f.startswith("_"))
-    os.replace(os.path.join(tmp, part), path + ".parquet")
-    os.utime(path + ".parquet", (mtime, mtime))
+    write_stream_file(spark, rows, path, mtime)
 
 
 def test_cli_anomalies_and_event_density(spark, tmp_path):

@@ -66,6 +66,28 @@ def test_simhash_near_dups(spark, docs):
     assert ("a1", "a3") in pairs
 
 
+def test_sketch_ops_exclude_shingleless_docs(spark):
+    """Docs shorter than the shingle length carry NO similarity signal:
+    they must not pair with each other (all-empty minhash signatures would
+    otherwise est-match at 1.0, and a 0 simhash would Hamming-match every
+    other empty doc)."""
+    long_a = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [("s1", "ab"), ("s2", "cd"), ("s3", ""),     # < shingle_k
+         ("l1", long_a), ("l2", long_a)],
+        "doc_id string, text string")
+    mh = {(r["doc_a"], r["doc_b"]) for r in
+          dedup.minhash_lsh_pairs(docs, jaccard_threshold=0.5).collect()}
+    assert mh == {("l1", "l2")}
+    sh = {(r["doc_a"], r["doc_b"]) for r in
+          dedup.simhash_near_dups(docs, max_hamming=3).collect()}
+    assert sh == {("l1", "l2")}
+    fps = {r["doc_id"]: r["simhash"] for r in
+           dedup.simhash_fingerprints(docs).collect()}
+    assert fps["s1"] is None and fps["s3"] is None
+    assert fps["l1"] is not None
+
+
 def test_connected_components_chain_and_groups(spark):
     """Min-label propagation finds TRANSITIVE near-dup groups: a chain
     a-b, b-c, c-d is one component even though (a,d) is not a pair; two

@@ -37,17 +37,10 @@ def _row(doc, toks, source, ts):
 
 def _write_file(spark, rows, path, mtime,
                 schema=pipeline.TOKEN_STREAM_SCHEMA):
-    """Write one stream-source *file* (the file source does not recurse into
-    non-partition subdirs, so the part-file is moved up to ``path``.parquet).
-    """
-    df = spark.createDataFrame(rows, schema).coalesce(1)
-    tmp = path + "__stage"
-    df.write.mode("overwrite").parquet(tmp)
-    part = next(f for f in os.listdir(tmp)
-                if f.endswith(".parquet") and not f.startswith("_"))
-    dest = path if path.endswith(".parquet") else path + ".parquet"
-    os.replace(os.path.join(tmp, part), dest)
-    os.utime(dest, (mtime, mtime))
+    """Shared stream-file staging helper — see conftest.write_stream_file."""
+    from conftest import write_stream_file
+
+    write_stream_file(spark, rows, path, mtime, schema)
 
 
 def _mins(m):
@@ -612,6 +605,28 @@ def test_compact_sink(spark, tmp_path):
     assert info3["gen_seq"] == 2 and info3["rows"] == 21
     assert mtimes == {f: os.path.getmtime(os.path.join(gen2, f))
                       for f in os.listdir(gen2)}
+
+
+def test_compact_sink_recovers_from_first_compaction_crash(spark, tmp_path):
+    """A crash between the generation-dir rename and the meta publish on
+    the FIRST-ever compaction leaves an unpublished gen dir and no
+    _compaction.json; the retry must GC the orphan instead of wedging on a
+    non-empty os.replace target."""
+    from hidden_characters_detector_spark.sinks.exactly_once import (
+        compact_sink, write_batch_partition)
+
+    out = str(tmp_path / "out")
+    os.makedirs(out)
+    df = spark.createDataFrame([("d0", 1), ("d1", 2)], "doc_id string, v int")
+    write_batch_partition(df, 0, out)
+    # simulate the crash artifact: gen dir exists, meta never published
+    os.makedirs(os.path.join(out, "gen-000001"))
+    with open(os.path.join(out, "gen-000001", "stale.parquet"), "w") as f:
+        f.write("junk")
+
+    info = compact_sink(spark, out, target_rows_per_file=1000)
+    assert info["gen_seq"] == 1 and info["rows"] == 2
+    assert read_sink(spark, out).count() == 2
 
 
 def test_compact_sink_skips_uncommitted_batch(spark, tmp_path):
