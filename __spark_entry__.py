@@ -914,6 +914,25 @@ def _fingerprint_docs(spark, sf_dir):
     return docs.unionByName(dup).unionByName(pre).unionByName(suf)
 
 
+def q_length_stats(spark, sf_dir):
+    """Per-source exact length quantiles (R-7 interpolation — identical
+    definition in Spark ``percentile`` and DuckDB ``quantile_cont``) —
+    the profiling aggregate behind curation length cutoffs."""
+    from hidden_characters_detector_spark.operators import text_analysis
+    docs = _table(spark, sf_dir, "documents").select("source", "text")
+    return text_analysis.length_quantiles(docs)
+
+
+def _o_length_stats():
+    qs = ", ".join(
+        f"round(quantile_cont(CAST(length(text) AS DOUBLE), {p}), 6)"
+        f" AS p{int(p * 100)}"
+        for p in (0.25, 0.5, 0.75, 0.95))
+    return f"""
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs, {qs}
+    FROM documents GROUP BY source"""
+
+
 # portable md5-digit hash-unit (mirrors operators.sampling.hash_unit)
 def _o_hash_unit(id_expr: str, salt) -> str:
     def dig(k):
@@ -1232,6 +1251,7 @@ _EXTRA_QUERIES = {
     "fingerprints": q_fingerprints,
     "train_test_split": q_train_test_split,
     "stratified_sample": q_stratified_sample,
+    "length_stats": q_length_stats,
 }
 
 _EXTRA_ORACLES = {
@@ -1252,6 +1272,7 @@ _EXTRA_ORACLES = {
     "multimodal_features": _o_multimodal_features,
     "train_test_split": _o_train_test_split,
     "stratified_sample": _o_stratified_sample,
+    "length_stats": _o_length_stats,
 }
 
 _BASE_QUERIES = queries

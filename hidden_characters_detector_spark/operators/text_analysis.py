@@ -140,6 +140,30 @@ def top_ngrams(df: DataFrame, text_col: str = "text", *, n: int = 2,
             .orderBy(F.desc("n_occurrences"), "ngram").limit(k))
 
 
+def length_quantiles(df: DataFrame, text_col: str = "text",
+                     strata_col: str = "source",
+                     probs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.95),
+                     *, exact: bool = True) -> DataFrame:
+    """Per-stratum document-length quantiles — the profiling step behind
+    curation length cutoffs (e.g. "drop the shortest quartile of web").
+
+    ``exact=True`` uses Spark's sort-based ``percentile`` (R-7 linear
+    interpolation, the same definition as DuckDB ``quantile_cont``, so the
+    oracle matches value-for-value).  Exact percentile shuffles every value
+    of a group to one reducer — fine for profiling runs, wrong as a
+    standing 100 TB job; ``exact=False`` switches to one-pass bounded-
+    memory ``approx_percentile`` (the at-scale default, pytest-bounded
+    against exact).
+    """
+    fn = F.percentile if exact else (
+        lambda c, p: F.approx_percentile(c, p, F.lit(10000)))
+    ln = F.length(text_col).cast("double")
+    return df.groupBy(strata_col).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        *[F.round(fn(ln, F.lit(p)), 6).alias(f"p{int(p * 100)}")
+          for p in probs])
+
+
 def fingerprints(df: DataFrame, text_col: str = "text",
                  id_col: str = "doc_id", *, window: int = 32) -> DataFrame:
     """Stable 64-bit-ish content fingerprints:

@@ -363,6 +363,28 @@ def test_redact_pii(spark):
     assert out["p3"]["text_redacted"] == ""
 
 
+def test_length_quantiles_exact_and_approx(spark):
+    """Exact per-stratum quantiles match numpy's R-7 interpolation; the
+    one-pass approx variant (the at-scale path) stays within tolerance."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet") \
+        .select("source", "text")
+    exact = {r["source"]: r for r in
+             text_analysis.length_quantiles(docs).collect()}
+    rows = docs.withColumn("n", F.length("text")).collect()
+    by_src: dict[str, list[int]] = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(len(r["text"]))
+    for src, lens in by_src.items():
+        expect = np.percentile(np.array(lens, dtype=float), 50)  # R-7
+        assert abs(exact[src]["p50"] - round(float(expect), 6)) < 1e-9
+        assert exact[src]["n_docs"] == len(lens)
+    approx = {r["source"]: r for r in
+              text_analysis.length_quantiles(docs, exact=False).collect()}
+    for src in exact:
+        spread = max(by_src[src]) - min(by_src[src]) or 1
+        assert abs(approx[src]["p50"] - exact[src]["p50"]) <= 0.05 * spread
+
+
 def test_sampling_deterministic_and_partition_independent(spark):
     """Hash-based split/sample is a pure function of the id: identical
     under repartitioning (df.sample would NOT be), fractions land near
