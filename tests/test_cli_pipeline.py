@@ -27,6 +27,54 @@ def _write_file(spark, rows, path, mtime):
     write_stream_file(spark, rows, path, mtime)
 
 
+def _run_cli(src, out, ck, *extra):
+    env = dict(os.environ, SPARK_GRAFT_SHUFFLE="2")
+    return subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "run_pipeline.py"),
+         "--input", src, "--output", out, "--checkpoint", ck,
+         "--master", "local[2]", "--max-files-per-trigger", "1", *extra],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=600)
+
+
+def test_cli_checkpoint_resume_exactly_once(spark, tmp_path):
+    """Production resume contract at the CLI level: a second invocation
+    over the same checkpoint processes ONLY newly-arrived files, and the
+    sink holds every sequence exactly once across both runs (with the
+    anomaly CEP state also resuming — batch counts continue, not reset)."""
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    os.makedirs(src)
+    now = time.time()
+
+    def mins(m):
+        return T0 + dt.timedelta(minutes=m)
+
+    _write_file(spark, [(f"a{j}", [A, ZWSP], 2, "web", mins(0))
+                        for j in range(3)],
+                os.path.join(src, "f0"), now - 300)
+    p1 = _run_cli(src, out, ck, "--anomalies", "--anomaly-min-batches", "1")
+    assert p1.returncode == 0, p1.stderr[-4000:]
+
+    # new file arrives; resume from the same checkpoint
+    _write_file(spark, [("b0", [A, ZWSP, ZWSP], 3, "web", mins(20))],
+                os.path.join(src, "f1"), now - 100)
+    p2 = _run_cli(src, out, ck, "--anomalies", "--anomaly-min-batches", "1")
+    assert p2.returncode == 0, p2.stderr[-4000:]
+
+    from hidden_characters_detector_spark.sinks.exactly_once import read_sink
+
+    sink = read_sink(spark, os.path.join(out, "cleaned"))
+    ids = sorted(r["doc_id"] for r in sink.collect())
+    assert ids == ["a0", "a1", "a2", "b0"]          # exactly once, no dupes
+    anom = {r["n_batches_seen"]: r for r in
+            read_sink(spark, os.path.join(out, "anomalies")).collect()}
+    # CEP state resumed: run 2's batch is the SECOND batch this source has
+    # seen (EWMA carried across the restart), not a fresh batch 1
+    assert set(anom) == {1, 2}
+    assert anom[2]["rate"] == 2.0                   # 2 markers / 1 seq
+
+
 def test_cli_anomalies_and_event_density(spark, tmp_path):
     src = str(tmp_path / "in")
     out = str(tmp_path / "out")
