@@ -1135,9 +1135,15 @@ def q_multimodal_features(spark, sf_dir):
     media = multimodal.attach_fake_media(docs, kind="video")
     feat = multimodal.decode_images(media, deterministic_fake=True)
     frames = multimodal.sample_frames(feat, every_n=24)
+    # n * first(feat0) rather than sum(feat0): every sampled frame of a doc
+    # carries the same decoded features, and the oracle computes
+    # n_sampled_frames * feat0 — repeated fp-addition vs one multiplication
+    # can differ in the last ulp, which would flake the 4-decimal rounding
+    # right at a boundary; evaluating the identical expression cannot
     return (frames.groupBy("doc_id")
             .agg(F.count("*").cast("long").alias("n_sampled_frames"),
-                 F.round(F.sum(F.element_at("img_features", 1)), 4)
+                 F.round(F.count("*")
+                         * F.first(F.element_at("img_features", 1)), 4)
                  .alias("feat0_sum"))
             .orderBy("doc_id").limit(200))
 

@@ -220,6 +220,14 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id", *,
     signature-agreement Jaccard estimate.
 
     Returns (doc_a, doc_b, est_jaccard), doc_a < doc_b, deduplicated.
+
+    ``materialize=True`` (default) persists the signature table so the
+    kernel runs once across the band branch and the est-Jaccard re-attach,
+    then EAGERLY materializes the (tiny) pair result, unpersists the
+    signature cache, and returns the persisted result — no cache outlives
+    the call except the returned handle, which the caller can
+    ``.unpersist()``.  ``materialize=False`` stays fully lazy at the cost
+    of re-running the deterministic signature kernel per branch.
     """
     cand, sig = _lsh_candidates(df, id_col, text_col, num_perm=num_perm,
                                 bands=bands, seed=seed,
@@ -232,11 +240,22 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id", *,
                                       lambda x, y: x == y),
                            lambda z: z))
            / F.lit(float(num_perm)))
-    return (cand.join(sa, "doc_a").join(sb, "doc_b")
-            .withColumn("est_jaccard", est)
-            .where(F.col("est_jaccard") >= jaccard_threshold)
-            .select("doc_a", "doc_b",
-                    F.round("est_jaccard", 4).alias("est_jaccard")))
+    out = (cand.join(sa, "doc_a").join(sb, "doc_b")
+           .withColumn("est_jaccard", est)
+           .where(F.col("est_jaccard") >= jaccard_threshold)
+           .select("doc_a", "doc_b",
+                   F.round("est_jaccard", 4).alias("est_jaccard")))
+    if materialize:
+        # the signature cache must not outlive this call (one leaked
+        # MEMORY_AND_DISK table per invocation in a long-lived session):
+        # materialize the (tiny — near-dup pairs only) result eagerly,
+        # release sig, and hand the caller the persisted result itself so
+        # .unpersist() on the returned handle actually frees it.  Lineage
+        # is kept, so a lost block recomputes (slower, still correct).
+        out = out.persist()
+        out.count()
+        sig.unpersist()
+    return out
 
 
 def simhash_fingerprints(df: DataFrame, text_col: str = "text", *,
@@ -392,9 +411,16 @@ def verified_near_dups(df: DataFrame, id_col: str = "doc_id",
     bucket collision goes to verification); the verify stage computes the
     true Jaccard pair-locally and keeps pairs ≥ ``jaccard_threshold``.
     Output: (doc_a, doc_b, jaccard), doc_a < doc_b.
+
+    Signatures are NOT persisted here (``materialize=False``): this path
+    never re-attaches them after banding, so the only cost is one extra
+    deterministic kernel pass inside the band self-join — the alternative
+    (a persisted signature table whose handle this function would have to
+    discard) leaks a MEMORY_AND_DISK cache per invocation for the life of
+    the session.
     """
     cand, _ = _lsh_candidates(df, id_col, text_col, num_perm=num_perm,
-                              bands=bands, seed=seed)
+                              bands=bands, seed=seed, materialize=False)
     texts = df.select(id_col, text_col)
     pairs = (cand
              .join(texts.withColumnRenamed(id_col, "doc_a")
@@ -427,7 +453,10 @@ def connected_components(pairs: DataFrame, *, a_col: str = "doc_a",
     runs unchanged: every round is a partial-agged ``groupBy(node).min``,
     no driver-side data beyond the convergence counter.
 
-    Returns (node, component) — component is the min node id reachable.
+    Returns the final round's persisted DataFrame with columns
+    (node, old, component) — ``component`` is the min node id reachable,
+    ``old`` the previous round's label (equal at convergence).  The caller
+    owns the returned cache: ``.unpersist()`` it when done.
     """
     edges = (pairs.select(F.col(a_col).alias("src"),
                           F.col(b_col).alias("dst"))
@@ -471,10 +500,12 @@ def connected_components(pairs: DataFrame, *, a_col: str = "doc_a",
         raise
     finally:
         edges.unpersist()
-    # the returned labels are backed by the final round's cached result
-    # (already materialized by its convergence count); the caller owns it —
-    # unpersist when done
-    return labels
+    # return the final round's PERSISTED DataFrame itself (not a projection
+    # of it — .unpersist() on a projection would not release the cache): the
+    # caller owns the cache and can actually free it.  Schema is
+    # (node, old, component) where ``old`` is the previous round's label
+    # (equal to ``component`` at convergence); select the two you need.
+    return cached
 
 
 def dedup_groups(df: DataFrame, id_col: str = "doc_id",
@@ -500,15 +531,21 @@ def dedup_groups(df: DataFrame, id_col: str = "doc_id",
                                num_perm=num_perm, bands=bands,
                                seed=seed).persist()
     comp = connected_components(pairs)
-    # CC's convergence counts materialized both caches; the labels cache
-    # (owned by our caller via the result's lineage) is all that's still
-    # needed — release the pair set now
-    pairs.unpersist()
     sizes = comp.groupBy("component").agg(
         F.count("*").cast("long").alias("group_size"))
-    return (comp.join(sizes, "component")
-            .select(F.col("node").alias(id_col),
-                    F.col("component").alias("group_id"),
-                    "group_size",
-                    (F.col("node") == F.col("component"))
-                    .alias("is_canonical")))
+    out = (comp.join(sizes, "component")
+           .select(F.col("node").alias(id_col),
+                   F.col("component").alias("group_id"),
+                   "group_size",
+                   (F.col("node") == F.col("component"))
+                   .alias("is_canonical")))
+    # materialize the (tiny — grouped docs only) output eagerly so BOTH
+    # upstream caches (the pair set and CC's final labels round) can be
+    # released before returning; the caller gets the persisted result
+    # itself and can .unpersist() it.  Lineage is kept: a lost block
+    # recomputes through the (uncached) upstream — slower, still correct.
+    out = out.persist()
+    out.count()
+    comp.unpersist()
+    pairs.unpersist()
+    return out

@@ -190,11 +190,22 @@ def compact_sink(spark, out_dir: str, *,
                     and os.path.isdir(os.path.join(out_dir, d))):
                 shutil.rmtree(os.path.join(out_dir, d), ignore_errors=True)
 
-    # step 2: committed inputs only (manifest gate)
-    dirs = [d for d in _batch_dirs(out_dir)
-            if int(d.split("=", 1)[1]) > prev_up_to
-            and os.path.exists(os.path.join(
-                out_dir, f"_manifest_batch_{d.split('=', 1)[1]}.json"))]
+    # step 2: committed inputs only (manifest gate), stopping at the FIRST
+    # unmanifested batch dir: up_to must never exceed a batch id whose dir
+    # exists without a manifest, or that batch would be masked by read_sink
+    # and GC'd by the next compaction (silent loss).  A single serial
+    # streaming query commits manifests in order, but this makes the
+    # invariant explicit instead of assumed (out-of-order manifests from a
+    # second writer or a non-serial replay now just defer compaction).
+    candidates = sorted(
+        (int(d.split("=", 1)[1]), d) for d in _batch_dirs(out_dir)
+        if int(d.split("=", 1)[1]) > prev_up_to)
+    dirs = []
+    for bid, d in candidates:
+        if not os.path.exists(os.path.join(
+                out_dir, f"_manifest_batch_{bid}.json")):
+            break
+        dirs.append(d)
     if not dirs:
         # step 3: nothing new — never rewrite (and never touch) the
         # published generation

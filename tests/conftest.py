@@ -115,4 +115,8 @@ def write_stream_file(spark, rows, path, mtime, schema=None):
                 if f.endswith(".parquet") and not f.startswith("_"))
     dest = path if path.endswith(".parquet") else path + ".parquet"
     _os.replace(_os.path.join(tmp, part), dest)
+    import shutil as _shutil
+    _shutil.rmtree(tmp, ignore_errors=True)  # _SUCCESS/.crc leftovers would
+    # clutter the stream-source dir (harmless only because the file source
+    # ignores subdirs — keep the dir containing only intended *.parquet)
     _os.utime(dest, (mtime, mtime))

@@ -730,3 +730,33 @@ def test_marker_rate_anomalies(spark, tmp_path):
     # ewma after burst = 0.5*4.0 + 0.5*1.0 = 2.5; rate 1.0 not anomalous
     assert abs(rows2[-1]["ewma_prev"] - 2.5) < 1e-9
     assert not rows2[-1]["is_anomaly"]
+
+
+def test_compact_sink_never_masks_unmanifested_lower_batch(spark, tmp_path):
+    """Gap safety: if a batch dir with id BELOW the highest manifested id
+    lacks its manifest (out-of-order manifests — a second writer or a
+    non-serial replay), compaction must stop at the gap rather than set
+    up_to past it (which would mask the batch at read time and GC it on the
+    next run — silent loss)."""
+    from hidden_characters_detector_spark.sinks.exactly_once import (
+        compact_sink, write_batch_partition)
+
+    out = str(tmp_path / "out")
+    os.makedirs(out)
+    df = spark.createDataFrame([("d0", 1), ("d1", 2)], "doc_id string, v int")
+    write_batch_partition(df, 0, out)
+    write_batch_partition(df, 1, out)  # manifest removed below (the gap)
+    write_batch_partition(df, 2, out)  # manifested, ABOVE the gap
+    os.remove(os.path.join(out, "_manifest_batch_1.json"))
+
+    info = compact_sink(spark, out, target_rows_per_file=1000)
+    # up_to stops BELOW the gap: batch 2 is not folded in even though its
+    # manifest exists, because folding it would put up_to past batch 1
+    assert info["up_to"] == 0 and info["rows"] == 2
+    # batches 1 and 2 stay live dirs; batch 1's rows are still visible the
+    # moment its manifest lands
+    write_batch_partition(df, 1, out)
+    assert read_sink(spark, out).count() == 6
+    info2 = compact_sink(spark, out, target_rows_per_file=1000)
+    assert info2["up_to"] == 2 and info2["rows"] == 6
+    assert read_sink(spark, out).count() == 6
