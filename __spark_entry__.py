@@ -917,10 +917,13 @@ def _fingerprint_docs(spark, sf_dir):
 def q_length_stats(spark, sf_dir):
     """Per-source exact length quantiles (R-7 interpolation — identical
     definition in Spark ``percentile`` and DuckDB ``quantile_cont``) —
-    the profiling aggregate behind curation length cutoffs."""
+    the profiling aggregate behind curation length cutoffs.  ``exact=True``
+    is the explicit oracle-parity opt-in; the function DEFAULT is the
+    bounded-memory approx sketch (the at-scale plan, plan-asserted in
+    tests/test_plans.py)."""
     from hidden_characters_detector_spark.operators import text_analysis
     docs = _table(spark, sf_dir, "documents").select("source", "text")
-    return text_analysis.length_quantiles(docs)
+    return text_analysis.length_quantiles(docs, exact=True)
 
 
 def _o_length_stats():

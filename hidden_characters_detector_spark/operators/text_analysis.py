@@ -143,17 +143,20 @@ def top_ngrams(df: DataFrame, text_col: str = "text", *, n: int = 2,
 def length_quantiles(df: DataFrame, text_col: str = "text",
                      strata_col: str = "source",
                      probs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.95),
-                     *, exact: bool = True) -> DataFrame:
+                     *, exact: bool = False) -> DataFrame:
     """Per-stratum document-length quantiles — the profiling step behind
     curation length cutoffs (e.g. "drop the shortest quartile of web").
 
-    ``exact=True`` uses Spark's sort-based ``percentile`` (R-7 linear
-    interpolation, the same definition as DuckDB ``quantile_cont``, so the
-    oracle matches value-for-value).  Exact percentile shuffles every value
-    of a group to one reducer — fine for profiling runs, wrong as a
-    standing 100 TB job; ``exact=False`` switches to one-pass bounded-
-    memory ``approx_percentile`` (the at-scale default, pytest-bounded
-    against exact).
+    The default (``exact=False``) is the at-scale plan: one-pass bounded-
+    memory ``approx_percentile`` sketches that aggregate partial+final with
+    NO per-group value shuffle (plan-asserted in
+    ``tests/test_plans.py::test_approx_quantiles_plan_is_partial_agged``)
+    and are pytest-bounded against exact.  ``exact=True`` opts into Spark's
+    sort-based ``percentile`` (R-7 linear interpolation, the same
+    definition as DuckDB ``quantile_cont``, so the oracle matches
+    value-for-value) — it ships every value of a group to one reducer,
+    which is fine for a one-off profiling run at moderate scale but wrong
+    as a standing 100 TB job.
     """
     fn = F.percentile if exact else (
         lambda c, p: F.approx_percentile(c, p, F.lit(10000)))

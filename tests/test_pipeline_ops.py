@@ -369,7 +369,7 @@ def test_length_quantiles_exact_and_approx(spark):
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet") \
         .select("source", "text")
     exact = {r["source"]: r for r in
-             text_analysis.length_quantiles(docs).collect()}
+             text_analysis.length_quantiles(docs, exact=True).collect()}
     rows = docs.withColumn("n", F.length("text")).collect()
     by_src: dict[str, list[int]] = {}
     for r in rows:
@@ -378,8 +378,9 @@ def test_length_quantiles_exact_and_approx(spark):
         expect = np.percentile(np.array(lens, dtype=float), 50)  # R-7
         assert abs(exact[src]["p50"] - round(float(expect), 6)) < 1e-9
         assert exact[src]["n_docs"] == len(lens)
+    # exact=False is the function DEFAULT (the at-scale plan)
     approx = {r["source"]: r for r in
-              text_analysis.length_quantiles(docs, exact=False).collect()}
+              text_analysis.length_quantiles(docs).collect()}
     for src in exact:
         spread = max(by_src[src]) - min(by_src[src]) or 1
         assert abs(approx[src]["p50"] - exact[src]["p50"]) <= 0.05 * spread

@@ -213,3 +213,22 @@ def test_aqe_splits_skewed_join(spark, tmp_path):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_approx_quantiles_plan_is_partial_agged_bounded_sketch(spark):
+    """length_quantiles' DEFAULT must be the at-scale plan: map-side
+    partial + final ObjectHashAggregate over approx_percentile's BOUNDED
+    sketch buffer.  Exact percentile plans the same agg shape but its
+    partial buffer is the full per-group value list — every value still
+    crosses the exchange to one reducer per group, the 100 TB killer —
+    so the default plan must contain approx_percentile and no exact
+    percentile() call."""
+    from hidden_characters_detector_spark.operators import text_analysis
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet") \
+        .select("source", "text")
+    plan = _plan(text_analysis.length_quantiles(docs))
+    assert "partial_approx_percentile" in plan   # map-side sketch
+    assert "approx_percentile" in plan.split("Exchange")[0]  # final merge
+    assert "partial_percentile(" not in plan     # unbounded value buffer
+    assert "SortAggregate" not in plan
