@@ -1242,7 +1242,78 @@ def _o_ngram_topk():
     FROM g GROUP BY ngram ORDER BY n_occurrences DESC, ngram LIMIT 20"""
 
 
+# =========================================================================
+# J3 batch analog: detections ⋈ versioned confusable dictionary (interval
+# join) — the stream-stream join's semantics under the driver's hash gate
+# =========================================================================
+_DICT_T0 = "2024-01-01 00:00:00"
+
+
+def q_dict_join(spark, sf_dir):
+    """Batch analog of the stateful stream-stream confusable-dict join
+    (``streaming.pipeline.confusable_dict_join``, SURVEY §2.3; dict tables
+    seeded from ref :255-406): detection events with planted event times ⋈
+    a VERSIONED dictionary on ``token = marker_cp AND event_time ∈
+    [valid_from, valid_from + 1h)``.  Validity windows are non-vacuous by
+    construction (``sources.confusable_dict.versioned_offsets``): a retired
+    version-0 rule must never match, early events match only version 1,
+    later events match versions 1 AND 2 — the oracle checks every matched
+    (event, version) pair and the joined dictionary payload."""
+    from hidden_characters_detector_spark.sources import confusable_dict
+    from hidden_characters_detector_spark.streaming import pipeline as sp
+    _utc(spark)
+    ev = document_events(_marked(spark, sf_dir), text_col="marked",
+                         keep=["doc_id"],
+                         event_cols=["idx", "token", "marker_type"])
+    # deterministic event time: T0 + (doc_id % 30) minutes, in-SQL so both
+    # engines derive it identically
+    ev = ev.withColumn(
+        "event_time",
+        F.expr(f"timestamp'{_DICT_T0}' "
+               "+ make_interval(0, 0, 0, 0, 0, cast(doc_id % 30 as int), "
+               "0)"))
+    dc = confusable_dict.versioned_dict(spark, _DICT_T0)
+    out = sp.confusable_dict_join_batch(ev, dc, validity="1 hour")
+    return out.select(
+        "doc_id", F.col("idx").cast("long").alias("idx"),
+        F.col("token").cast("long").alias("token"),
+        F.col("dict_marker_type").alias("marker_type"),
+        F.col("version").cast("long").alias("version"), "repl_str")
+
+
+def _o_dict_join():
+    from hidden_characters_detector_spark.sources import confusable_dict
+
+    rows = []
+    for cp, repl, mt in confusable_dict.base_rules():
+        for v, off in confusable_dict.versioned_offsets(cp):
+            rs = ",".join(str(c) for c in repl) + f"#v{v}"
+            rows.append(f"({cp}, {osql.q(rs)}, {osql.q(mt)}, {off}, {v})")
+    dict_values = ("(VALUES " + ", ".join(rows)
+                   + ") AS d(cp, repl_str, marker_type, off_min, version)")
+    return f"""
+    WITH ev AS (
+      SELECT doc_id, CAST(t.i - 1 AS BIGINT) AS idx,
+             CAST(unicode(substr(marked, CAST(t.i AS INTEGER), 1)) AS BIGINT)
+                 AS token,
+             doc_id % 30 AS ev_min
+      FROM {osql.marked_docs_sql(DUCKDB)} m,
+           unnest(range(1, length(marked) + 1)) AS t(i)
+      WHERE regexp_matches(substr(marked, CAST(t.i AS INTEGER), 1),
+                           {osql.q(osql.HIDDEN_CLASS)})
+         OR regexp_matches(substr(marked, CAST(t.i AS INTEGER), 1),
+                           {osql.q(osql.IVS_CLASS)})
+         OR regexp_matches(substr(marked, CAST(t.i AS INTEGER), 1),
+                           {osql.q(osql.TYPO_CLASS)}))
+    SELECT ev.doc_id, ev.idx, ev.token, d.marker_type,
+           CAST(d.version AS BIGINT) AS version, d.repl_str
+    FROM ev JOIN {dict_values}
+      ON ev.token = d.cp
+     AND ev.ev_min >= d.off_min AND ev.ev_min < d.off_min + 60"""
+
+
 _EXTRA_QUERIES = {
+    "dict_join": q_dict_join,
     "exact_dedup": q_exact_dedup,
     "redact_pii": q_redact_pii,
     "ngram_topk": q_ngram_topk,
@@ -1264,6 +1335,7 @@ _EXTRA_QUERIES = {
 }
 
 _EXTRA_ORACLES = {
+    "dict_join": _o_dict_join,
     "exact_dedup": _o_exact_dedup,
     "redact_pii": _o_redact_pii,
     "ngram_topk": _o_ngram_topk,

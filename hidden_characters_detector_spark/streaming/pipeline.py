@@ -135,6 +135,15 @@ def session_bursts(events: DataFrame, *, watermark: str = "10 minutes",
                     "doc_id", "source", "n_detections"))
 
 
+def _dict_join_cond(validity: str):
+    """Shared interval-join condition: equi-key on the marker codepoint +
+    a half-open validity window ``[valid_from, valid_from + validity)``.
+    The time bound is what makes BOTH sides' streaming state evictable."""
+    return F.expr(
+        f"token = marker_cp AND event_time >= valid_from "
+        f"AND event_time < valid_from + interval {validity}")
+
+
 def confusable_dict_join(events: DataFrame, dict_stream: DataFrame, *,
                          event_watermark: str = "10 minutes",
                          dict_watermark: str = "1 hour",
@@ -151,14 +160,24 @@ def confusable_dict_join(events: DataFrame, dict_stream: DataFrame, *,
           .withColumnRenamed("marker_type", "dict_marker_type")
           .withColumnRenamed("replacement", "dict_replacement")
           .withWatermark("valid_from", dict_watermark))
-    cond = F.expr(
-        f"token = marker_cp AND event_time >= valid_from "
-        f"AND event_time < valid_from + interval {validity}")
-    return (ev.join(dc, cond, "inner")
+    return (ev.join(dc, _dict_join_cond(validity), "inner")
             .select("doc_id", "source", "event_time", "token",
                     "marker_type",
                     F.col("dict_replacement").alias("replacement"),
                     "valid_from"))
+
+
+def confusable_dict_join_batch(events: DataFrame, dict_df: DataFrame, *,
+                               validity: str = "1 hour") -> DataFrame:
+    """Batch analog of :func:`confusable_dict_join` — the SAME interval
+    condition over a static versioned dictionary (backfill / driver
+    contract).  No watermarks; the dictionary side is broadcast — it is a
+    rule table (hundreds of rows at any scale), so the big events side
+    never shuffles.  Returns the joined frame with the dictionary's
+    columns prefixed ``dict_`` where they would collide."""
+    dc = dict_df.withColumnRenamed("marker_type", "dict_marker_type") \
+                .withColumnRenamed("replacement", "dict_replacement")
+    return events.join(F.broadcast(dc), _dict_join_cond(validity), "inner")
 
 
 def scan_stats_stream(cleaned: DataFrame, *,

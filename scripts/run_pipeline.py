@@ -78,6 +78,16 @@ def main() -> None:
                          "of the per-source EWMA (default 3.0)")
     ap.add_argument("--anomaly-alpha", type=float, default=0.3)
     ap.add_argument("--anomaly-min-batches", type=int, default=3)
+    ap.add_argument("--dict-stream", default=None, metavar="DIR",
+                    help="directory of confusable-dictionary update files "
+                         "(parquet, schema sources.confusable_dict."
+                         "DICT_SCHEMA); runs the stateful stream-stream "
+                         "interval join of detection events against the "
+                         "dict updates, appending matches to "
+                         "<output>/dict_join with its own checkpoint")
+    ap.add_argument("--dict-validity", default="1 hour",
+                    help="how long a dictionary version stays joinable "
+                         "after its valid_from (default '1 hour')")
     ap.add_argument("--density", choices=("counters", "events"),
                     default="counters",
                     help="'counters' (default): per-window density derived "
@@ -168,6 +178,23 @@ def main() -> None:
             os.path.join(args.checkpoint, "anomalies"),
             trigger_available_now=args.available_now,
             query_name="anomaly-cep"))
+    if args.dict_stream:
+        from hidden_characters_detector_spark.sources import confusable_dict
+        tok_d = pipeline.read_token_stream(
+            spark, args.input,
+            max_files_per_trigger=args.max_files_per_trigger)
+        joined = pipeline.confusable_dict_join(
+            pipeline.event_stream(tok_d, cfg),
+            confusable_dict.read_dict_stream(spark, args.dict_stream),
+            validity=args.dict_validity)
+        writer = (joined.writeStream.outputMode("append").format("parquet")
+                  .option("path", os.path.join(args.output, "dict_join"))
+                  .option("checkpointLocation",
+                          os.path.join(args.checkpoint, "dict_join"))
+                  .queryName("dict-join"))
+        if args.available_now:
+            writer = writer.trigger(availableNow=True)
+        extra.append(writer.start())
     if args.density == "events":
         tok_e = pipeline.read_token_stream(
             spark, args.input,
@@ -198,6 +225,11 @@ def main() -> None:
                             target_rows_per_file=args.compact_target_rows)
         print(f"COMPACTED up_to={info['up_to']} rows={info['rows']} "
               f"files={info['files']}")
+    if args.dict_stream:
+        ddir = os.path.join(args.output, "dict_join")
+        n_dj = (spark.read.parquet(ddir).count()
+                if os.path.isdir(ddir) else 0)
+        print(f"DICT JOIN rows={n_dj}")
     if args.anomalies and args.sink == "parquet":
         from hidden_characters_detector_spark.sinks.exactly_once import (
             read_sink)

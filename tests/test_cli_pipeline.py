@@ -135,3 +135,48 @@ def test_cli_anomalies_and_event_density(spark, tmp_path):
     total = pipeline.read_density(spark, out).agg(
         {"n_detections": "sum"}).collect()[0][0]
     assert total == 9                          # 4 + 4 + 1 markers
+
+
+def test_cli_dict_stream_join(spark, tmp_path):
+    """--dict-stream runs the stateful stream-stream interval join from the
+    CLI itself (semantic spec: test_streaming.test_confusable_dict_join):
+    detection events join only dictionary versions whose validity window
+    covers the event time, and the joined rows land in <output>/dict_join."""
+    from hidden_characters_detector_spark.sources import confusable_dict
+
+    src = str(tmp_path / "in")
+    dc = str(tmp_path / "dict")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    os.makedirs(src)
+    now = time.time()
+    QUOTE = 0x2018  # cp % 3 == 2 -> valid_from T0+10min
+
+    # staggered dict updates: batch b becomes valid at T0 + b*5min
+    confusable_dict.write_dict_batches(spark, dc, T0, n_batches=3)
+    _write_file(spark, [
+        ("dj", [QUOTE, ZWSP, A], 3, "web", T0 + dt.timedelta(minutes=12)),
+        ("dearly", [QUOTE], 1, "web", T0 - dt.timedelta(minutes=90)),
+    ], os.path.join(src, "f1"), now - 300)
+    # a later file so the drain advances past the first batch
+    _write_file(spark, [("dpush", [A], 1, "web",
+                         T0 + dt.timedelta(minutes=50))],
+                os.path.join(src, "f2"), now - 200)
+
+    p = _run_cli(src, out, ck, "--dict-stream", dc,
+                 "--dict-validity", "1 hour")
+    assert p.returncode == 0, p.stderr[-4000:]
+    assert "DICT JOIN rows=" in p.stdout
+
+    joined = spark.read.parquet(os.path.join(out, "dict_join"))
+    rows = joined.collect()
+    matched = {(r["doc_id"], r["token"]) for r in rows}
+    # event at T0+12min is inside both rules' validity windows
+    assert ("dj", QUOTE) in matched
+    assert ("dj", ZWSP) in matched
+    # event 90 min BEFORE any valid_from never matches
+    assert not any(r["doc_id"] == "dearly" for r in rows)
+    # the dictionary payload rides along
+    qrow = [r for r in rows
+            if r["doc_id"] == "dj" and r["token"] == QUOTE][0]
+    assert qrow["replacement"] == [ord("'")]

@@ -232,3 +232,13 @@ def test_approx_quantiles_plan_is_partial_agged_bounded_sketch(spark):
     assert "approx_percentile" in plan.split("Exchange")[0]  # final merge
     assert "partial_percentile(" not in plan     # unbounded value buffer
     assert "SortAggregate" not in plan
+
+
+def test_dict_join_broadcasts_dictionary_side(spark):
+    """The batch confusable-dict interval join must broadcast the rule
+    table: it is a few hundred rows at ANY corpus scale, so the (huge)
+    events side must never shuffle or sort-merge for it."""
+    plan = _plan(entrymod.q_dict_join(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan  # equi-key on token=marker_cp
