@@ -453,6 +453,15 @@ def connected_components(pairs: DataFrame, *, a_col: str = "doc_a",
     runs unchanged: every round is a partial-agged ``groupBy(node).min``,
     no driver-side data beyond the convergence counter.
 
+    Hub skew (one node the dst of a huge edge fan-in — boilerplate text
+    duplicated across millions of docs): while the label table fits the
+    broadcast threshold the per-round join never shuffles edges at all;
+    beyond it the join is a shuffled join whose skewed dst partition AQE's
+    skew-join splits (``spark.sql.adaptive.skewJoin.enabled``, on by
+    default under AQE).  Both paths are exercised by
+    ``tests/test_pipeline_ops.py::test_connected_components_hub_skew_star``
+    (10k-spoke star, broadcast force-disabled for the shuffled variant).
+
     Returns the final round's persisted DataFrame with columns
     (node, old, component) — ``component`` is the min node id reachable,
     ``old`` the previous round's label (equal at convergence).  The caller

@@ -106,6 +106,51 @@ def test_connected_components_chain_and_groups(spark):
         dedup.connected_components(pairs, max_iter=1)
 
 
+def test_connected_components_hub_skew_star(spark):
+    """Giant-component / hub-skew coverage (realistic at corpus scale:
+    boilerplate text duplicated across millions of docs makes one node the
+    dst of a huge edge fan-in).  A 10k-spoke star must (1) converge in the
+    minimum round count — one label round plus the empty convergence round
+    when the hub already holds the min id, one extra when the min id sits
+    on a spoke and must propagate THROUGH the hub — and (2) stay correct
+    when the label side is too big to broadcast (autoBroadcastJoinThreshold
+    = -1 forces the shuffled join path, the one AQE's skew-join splits at
+    real scale; spark.sql.adaptive.skewJoin.enabled defaults on under the
+    AQE conf this suite and the production builders run with)."""
+    n = 10_000
+    hub_min = spark.range(1, n + 1).selectExpr(
+        "'a_hub' AS doc_a", "format_string('s_%06d', id) AS doc_b")
+    comp = dedup.connected_components(hub_min, max_iter=2)
+    got = {r["node"]: r["component"] for r in comp.collect()}
+    comp.unpersist()
+    assert len(got) == n + 1
+    assert set(got.values()) == {"a_hub"}
+
+    # min id on a SPOKE: label must cross the hub (2 label rounds + 1)
+    spoke_min = (spark.range(1, n + 1).selectExpr(
+        "'m_hub' AS doc_a", "format_string('s_%06d', id) AS doc_b")
+        .unionAll(spark.sql("SELECT 'm_hub' AS doc_a, 'a_min' AS doc_b")))
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(spoke_min, max_iter=2)
+    comp2 = dedup.connected_components(spoke_min, max_iter=3)
+    got2 = {r["node"]: r["component"] for r in comp2.collect()}
+    comp2.unpersist()
+    assert set(got2.values()) == {"a_min"}
+    assert len(got2) == n + 2
+
+    # the skew-prone path: no broadcast available for the label side
+    assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        comp3 = dedup.connected_components(hub_min, max_iter=2)
+        got3 = {r["node"]: r["component"] for r in comp3.collect()}
+        comp3.unpersist()
+        assert got3 == got
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
 def test_dedup_groups_end_to_end(spark):
     """LSH -> verify -> components -> canonical keeper: near-identical doc
     triple collapses to ONE group with the min-id canonical; unrelated and
