@@ -1312,7 +1312,59 @@ def _o_dict_join():
      AND ev.ev_min >= d.off_min AND ev.ev_min < d.off_min + 60"""
 
 
+def q_quarantine(spark, sf_dir):
+    """Bad-records quarantine gate (S6/unreadable-input analog, ref
+    :604-631): documents mutated in portable SQL into a token-table shape
+    with planted flaws — null id, empty id, null tokens, null event_time,
+    n_tok contradicting the array, and one row violating TWO rules (null
+    tokens + null time) so the rule PRECEDENCE (first match wins) is under
+    the hash gate too.  The real operator classifies; output is the
+    per-reason census a pipeline run reports."""
+    from hidden_characters_detector_spark.operators import quarantine as qr
+    docs = _table(spark, sf_dir, "documents")
+    tok_tbl = docs.selectExpr(
+        "CASE WHEN doc_id % 13 = 3 THEN NULL "
+        "     WHEN doc_id % 13 = 4 THEN '' "
+        "     ELSE cast(doc_id AS string) END AS doc_id",
+        "CASE WHEN doc_id % 13 IN (5, 8) THEN NULL "
+        "     ELSE array(1, 2) END AS tokens",
+        "CASE WHEN doc_id % 13 = 6 THEN 99 ELSE 2 END AS n_tok",
+        "source",
+        "CASE WHEN doc_id % 13 IN (7, 8) THEN NULL "
+        "     ELSE timestamp'2024-01-01 00:00:00' END AS event_time")
+    marked = qr.with_quarantine_reason(tok_tbl)
+    return (marked
+            .groupBy(F.coalesce("quarantine_reason", F.lit("valid"))
+                     .alias("quarantine_reason"))
+            .agg(F.count("*").cast("long").alias("n_rows")))
+
+
+def _o_quarantine():
+    return """
+    WITH t AS (
+      SELECT CASE WHEN doc_id % 13 = 3 THEN NULL
+                  WHEN doc_id % 13 = 4 THEN ''
+                  ELSE CAST(doc_id AS VARCHAR) END AS doc_id2,
+             CASE WHEN doc_id % 13 IN (5, 8) THEN NULL
+                  ELSE [1, 2] END AS tokens,
+             CASE WHEN doc_id % 13 = 6 THEN 99 ELSE 2 END AS n_tok,
+             CASE WHEN doc_id % 13 IN (7, 8) THEN NULL
+                  ELSE TIMESTAMP '2024-01-01 00:00:00' END AS event_time
+      FROM documents),
+    r AS (
+      -- the operator's CASE chain verbatim (rule order is contractual)
+      SELECT CASE WHEN doc_id2 IS NULL OR doc_id2 = '' THEN 'null_doc_id'
+                  WHEN tokens IS NULL THEN 'null_tokens'
+                  WHEN event_time IS NULL THEN 'null_event_time'
+                  WHEN n_tok <> len(tokens) THEN 'n_tok_mismatch'
+                  ELSE 'valid' END AS quarantine_reason
+      FROM t)
+    SELECT quarantine_reason, CAST(count(*) AS BIGINT) AS n_rows
+    FROM r GROUP BY quarantine_reason"""
+
+
 _EXTRA_QUERIES = {
+    "quarantine": q_quarantine,
     "dict_join": q_dict_join,
     "exact_dedup": q_exact_dedup,
     "redact_pii": q_redact_pii,
@@ -1335,6 +1387,7 @@ _EXTRA_QUERIES = {
 }
 
 _EXTRA_ORACLES = {
+    "quarantine": _o_quarantine,
     "dict_join": _o_dict_join,
     "exact_dedup": _o_exact_dedup,
     "redact_pii": _o_redact_pii,

@@ -226,14 +226,33 @@ def single_pass_pipeline(spark: SparkSession, input_path: str, out_dir: str,
        hot ``source`` key collapses to one row per map partition before the
        (tiny) shuffle.
 
+    Bad records (schema-valid but semantically null rows — null/empty
+    doc_id, null tokens, null event_time, n_tok contradicting the array;
+    see :mod:`..operators.quarantine`) never fail the job and never reach
+    the clean sink: the validity gate runs as a codegen projection BEFORE
+    the kernel (bad rows' tokens are swapped for an empty array so the
+    kernel cost for them is ~zero, the original array stashed), and the
+    foreachBatch routes them verbatim + reason to
+    ``<out>/quarantine/batch_id=N`` (same idempotent overwrite contract as
+    the main sink) with an ``n_quarantined`` observed metric.
+
     Returns the started StreamingQuery.
     """
     import os
 
+    from ..operators.quarantine import (QUARANTINE_REASON_COL,
+                                        with_quarantine_reason)
     from ..sinks.exactly_once import parquet_dir_rows, write_batch_partition
 
     tok = read_token_stream(spark, input_path,
                             max_files_per_trigger=max_files_per_trigger)
+    reason = F.col(QUARANTINE_REASON_COL)
+    tok = (with_quarantine_reason(tok)
+           .withColumn("tokens_raw",
+                       F.when(reason.isNotNull(), F.col("tokens")))
+           .withColumn("tokens",
+                       F.when(reason.isNull(), F.col("tokens"))
+                       .otherwise(F.expr("cast(array() as array<int>)"))))
     cleaned = clean_stream(tok, cfg)
     # per-batch marker-rate telemetry, zero extra passes: observe() folds
     # these aggregates into the batch's own execution and surfaces them in
@@ -244,25 +263,42 @@ def single_pass_pipeline(spark: SparkSession, input_path: str, out_dir: str,
         "clean_metrics",
         F.count(F.lit(1)).alias("n_seq"),
         F.sum("n_detected").alias("n_detected"),
-        F.sum(F.col("had_marker").cast("long")).alias("n_seq_with_markers"))
+        F.sum(F.col("had_marker").cast("long")).alias("n_seq_with_markers"),
+        F.sum(reason.isNotNull().cast("long")).alias("n_quarantined"))
     sink_dir = os.path.join(out_dir, "cleaned")
     dens_dir = os.path.join(out_dir, "density")
+    quar_dir = os.path.join(out_dir, "quarantine")
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        write_batch_partition(batch_df, batch_id, sink_dir)
-        committed = batch_df.sparkSession.read.parquet(
-            os.path.join(sink_dir, f"batch_id={batch_id}"))
-        dens = (committed
-                .groupBy(F.window("event_time", window), "source")
-                .agg(F.sum("n_detected").alias("n_detections"),
-                     F.sum("n_hidden").alias("n_hidden"),
-                     F.count("*").alias("n_seq"))
-                .select(F.col("window.start").alias("window_start"),
-                        F.col("window.end").alias("window_end"),
-                        "source", "n_detections", "n_hidden", "n_seq"))
-        dens_path = os.path.join(dens_dir, f"batch_id={batch_id}")
-        dens.coalesce(1).write.mode("overwrite").parquet(dens_path)
-        parquet_dir_rows(dens_path)  # footer sanity touch (cheap, no job)
+        # two sinks consume this batch (clean + quarantine): persist so the
+        # kernel pass runs once, not once per output job; MEMORY_AND_DISK
+        # spills rather than grow the heap, and the cache is dropped before
+        # the batch commits
+        batch_df.persist()
+        try:
+            good = batch_df.where(reason.isNull()) \
+                .drop(QUARANTINE_REASON_COL, "tokens_raw")
+            write_batch_partition(good, batch_id, sink_dir)
+            bad = batch_df.where(reason.isNotNull()).select(
+                "doc_id", F.col("tokens_raw").alias("tokens"), "n_tok",
+                "source", "event_time", QUARANTINE_REASON_COL)
+            bad.coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(quar_dir, f"batch_id={batch_id}"))
+            committed = batch_df.sparkSession.read.parquet(
+                os.path.join(sink_dir, f"batch_id={batch_id}"))
+            dens = (committed
+                    .groupBy(F.window("event_time", window), "source")
+                    .agg(F.sum("n_detected").alias("n_detections"),
+                         F.sum("n_hidden").alias("n_hidden"),
+                         F.count("*").alias("n_seq"))
+                    .select(F.col("window.start").alias("window_start"),
+                            F.col("window.end").alias("window_end"),
+                            "source", "n_detections", "n_hidden", "n_seq"))
+            dens_path = os.path.join(dens_dir, f"batch_id={batch_id}")
+            dens.coalesce(1).write.mode("overwrite").parquet(dens_path)
+            parquet_dir_rows(dens_path)  # footer sanity touch (no job)
+        finally:
+            batch_df.unpersist()
 
     writer = (cleaned.writeStream.foreachBatch(write_batch)
               .queryName(query_name)
@@ -270,6 +306,16 @@ def single_pass_pipeline(spark: SparkSession, input_path: str, out_dir: str,
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def read_quarantine(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Quarantined rows across all committed batches (original record +
+    ``quarantine_reason``), for audit / reprocessing."""
+    import os
+
+    return spark.read.option(
+        "basePath", os.path.join(out_dir, "quarantine")).parquet(
+        os.path.join(out_dir, "quarantine", "batch_id=*"))
 
 
 def read_density(spark: SparkSession, out_dir: str) -> DataFrame:

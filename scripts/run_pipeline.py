@@ -238,6 +238,11 @@ def main() -> None:
             adf = read_sink(spark, adir)
             print(f"ANOMALY CEP rows={adf.count()} "
                   f"flagged={adf.where('is_anomaly').count()}")
+    if args.sink == "parquet":
+        qdir = os.path.join(args.output, "quarantine")
+        if os.path.isdir(qdir):
+            qdf = pipeline.read_quarantine(spark, args.output)
+            print(f"QUARANTINE rows={qdf.count()}")
     n = rec.total_input_rows("cleaned-sink")
     dur = sum(p.get("batchDuration", 0) for p in rec.progress
               if p.get("name") == "cleaned-sink") / 1000.0

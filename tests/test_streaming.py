@@ -760,3 +760,69 @@ def test_compact_sink_never_masks_unmanifested_lower_batch(spark, tmp_path):
     info2 = compact_sink(spark, out, target_rows_per_file=1000)
     assert info2["up_to"] == 2 and info2["rows"] == 6
     assert read_sink(spark, out).count() == 6
+
+
+def test_single_pass_pipeline_quarantines_bad_records(spark, tmp_path):
+    """The typed-source error path (the reference skips undecodable files
+    and counts them, ref :604-631): schema-valid but semantically null rows
+    route to <out>/quarantine with a reason and an observed-metric count;
+    the clean sink and density partials see only valid rows; the original
+    record (including the raw tokens array) is preserved verbatim."""
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    os.makedirs(src)
+    now = time.time()
+    rows = [
+        _row("g0", [A, ZWSP, A], "web", _mins(0)),        # valid
+        _row("g1", [QUOTE, A], "books", _mins(1)),        # valid
+        (None, [A], 1, "web", _mins(0)),                  # null doc_id
+        ("", [A], 1, "web", _mins(0)),                    # empty doc_id
+        ("b_tok", None, 0, "web", _mins(0)),              # null tokens
+        ("b_time", [A, ZWSP], 2, "web", None),            # null event_time
+        ("b_len", [A, A, A], 7, "web", _mins(2)),         # n_tok mismatch
+    ]
+    _write_file(spark, rows, os.path.join(src, "f1"), now - 300)
+
+    rec = ProgressRecorder()
+    spark.streams.addListener(rec)
+    try:
+        q = pipeline.single_pass_pipeline(spark, src, out,
+                                          str(tmp_path / "ck"))
+        q.awaitTermination(120)
+    finally:
+        spark.streams.removeListener(rec)
+
+    # clean sink: only the two valid rows, cleaned as usual, schema free of
+    # quarantine plumbing columns
+    sink = read_sink(spark, os.path.join(out, "cleaned"))
+    got = {r["doc_id"]: r["tokens_clean"] for r in sink.collect()}
+    assert got == {"g0": [A, A], "g1": [ord("'"), A]}
+    assert "quarantine_reason" not in sink.columns
+    assert "tokens_raw" not in sink.columns
+
+    # quarantine: one row per bad record, original payload intact
+    quar = {r["doc_id"]: r for r in
+            pipeline.read_quarantine(spark, out).collect()}
+    assert {quar[k]["quarantine_reason"] for k in quar} >= {
+        "null_doc_id", "null_tokens", "null_event_time", "n_tok_mismatch"}
+    assert len(quar) == 5
+    assert quar[None]["quarantine_reason"] == "null_doc_id"
+    assert quar[""]["quarantine_reason"] == "null_doc_id"
+    assert quar["b_tok"]["quarantine_reason"] == "null_tokens"
+    assert quar["b_tok"]["tokens"] is None            # preserved verbatim
+    assert quar["b_time"]["quarantine_reason"] == "null_event_time"
+    assert quar["b_time"]["tokens"] == [A, ZWSP]      # raw array kept
+    assert quar["b_len"]["quarantine_reason"] == "n_tok_mismatch"
+    assert quar["b_len"]["n_tok"] == 7
+
+    # density partials built from valid rows only
+    dens = pipeline.read_density(spark, out)
+    assert dens.agg(F.sum("n_seq")).collect()[0][0] == 2
+
+    # telemetry: the observed metric counts the quarantined rows
+    deadline = time.time() + 30
+    while (rec.observed("clean_metrics", "n_quarantined") < 5
+           and time.time() < deadline):
+        time.sleep(0.5)
+    assert rec.observed("clean_metrics", "n_quarantined") == 5
+    assert rec.observed("clean_metrics", "n_seq") == 7
