@@ -147,7 +147,26 @@ def bench_dedup(spark, cpus: int):
         return sig.agg(F.count("*"),
                        F.min(F.element_at("minhash", 1))).collect()
 
-    return {"dedup_minhash": q_dedup_minhash}
+    docs_raw = spark.read.parquet(f"{SF_DIR}/documents.parquet") \
+        .select("doc_id", "text").localCheckpoint()
+
+    def q_dedup_e2e():
+        # FULL near-dup pipeline on the raw corpus (natural template
+        # clusters): signatures -> banded LSH self-join -> exact-Jaccard
+        # verify -> connected components -> canonical keeper.  bands=8
+        # (r=8) is the precision-oriented production banding for a 0.85
+        # threshold: measured on this corpus it emits 721 candidates vs
+        # 241k at the recall-oriented default (bands=16, r=4) with
+        # IDENTICAL verified output (255 pairs) — the verify stage is the
+        # shuffle+kernel cost at scale, so candidate precision is the knob.
+        out = dedup.dedup_groups(docs_raw, jaccard_threshold=0.85,
+                                 bands=8)
+        res = out.agg(F.count("*"),
+                      F.sum(F.col("is_canonical").cast("long"))).collect()
+        out.unpersist()
+        return res
+
+    return {"dedup_minhash": q_dedup_minhash, "dedup_e2e": q_dedup_e2e}
 
 
 def main() -> None:
