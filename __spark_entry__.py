@@ -1281,18 +1281,10 @@ def q_dict_join(spark, sf_dir):
         F.col("version").cast("long").alias("version"), "repl_str")
 
 
-def _o_dict_join():
-    from hidden_characters_detector_spark.sources import confusable_dict
-
-    rows = []
-    for cp, repl, mt in confusable_dict.base_rules():
-        for v, off in confusable_dict.versioned_offsets(cp):
-            rs = ",".join(str(c) for c in repl) + f"#v{v}"
-            rows.append(f"({cp}, {osql.q(rs)}, {osql.q(mt)}, {off}, {v})")
-    dict_values = ("(VALUES " + ", ".join(rows)
-                   + ") AS d(cp, repl_str, marker_type, off_min, version)")
+def _o_timed_events_cte() -> str:
+    """``WITH ev`` body shared by the dict-join oracles: every marker
+    occurrence with its planted event minute (T0 + doc_id % 30)."""
     return f"""
-    WITH ev AS (
       SELECT doc_id, CAST(t.i - 1 AS BIGINT) AS idx,
              CAST(unicode(substr(marked, CAST(t.i AS INTEGER), 1)) AS BIGINT)
                  AS token,
@@ -1304,12 +1296,83 @@ def _o_dict_join():
          OR regexp_matches(substr(marked, CAST(t.i AS INTEGER), 1),
                            {osql.q(osql.IVS_CLASS)})
          OR regexp_matches(substr(marked, CAST(t.i AS INTEGER), 1),
-                           {osql.q(osql.TYPO_CLASS)}))
+                           {osql.q(osql.TYPO_CLASS)})"""
+
+
+def _dict_values_sql() -> str:
+    """The versioned dictionary as a VALUES literal, generated from the
+    same Python schedule the Spark side uses."""
+    from hidden_characters_detector_spark.sources import confusable_dict
+
+    rows = []
+    for cp, repl, mt in confusable_dict.base_rules():
+        for v, off in confusable_dict.versioned_offsets(cp):
+            rs = ",".join(str(c) for c in repl) + f"#v{v}"
+            rows.append(f"({cp}, {osql.q(rs)}, {osql.q(mt)}, {off}, {v})")
+    return ("(VALUES " + ", ".join(rows)
+            + ") AS d(cp, repl_str, marker_type, off_min, version)")
+
+
+def _o_dict_join():
+    return f"""
+    WITH ev AS ({_o_timed_events_cte()})
     SELECT ev.doc_id, ev.idx, ev.token, d.marker_type,
            CAST(d.version AS BIGINT) AS version, d.repl_str
-    FROM ev JOIN {dict_values}
+    FROM ev JOIN {_dict_values_sql()}
       ON ev.token = d.cp
      AND ev.ev_min >= d.off_min AND ev.ev_min < d.off_min + 60"""
+
+
+def q_dict_asof(spark, sf_dir):
+    """As-of (point-in-time) join: each detection event resolves the SINGLE
+    dictionary version CURRENT at its event time — the SCD-2 complement of
+    ``dict_join``'s all-in-validity interval semantics, run through the
+    scale-correct formulation (interval-closing ``lead`` window on the tiny
+    dict side, then one broadcast equi-join: the event side never shuffles,
+    sorts, or aggregates; ``operators.asof.asof_join_broadcast``).  Exactly
+    one row per dict-keyed event: early events resolve the retired v0,
+    mid-window v1, post-update v2."""
+    from hidden_characters_detector_spark.operators.asof import (
+        asof_join_broadcast)
+    from hidden_characters_detector_spark.sources import confusable_dict
+    _utc(spark)
+    ev = document_events(_marked(spark, sf_dir), text_col="marked",
+                         keep=["doc_id"],
+                         event_cols=["idx", "token", "marker_type"]) \
+        .drop("marker_type")
+    ev = ev.withColumn(
+        "event_time",
+        F.expr(f"timestamp'{_DICT_T0}' "
+               "+ make_interval(0, 0, 0, 0, 0, cast(doc_id % 30 as int), "
+               "0)"))
+    dc = confusable_dict.versioned_dict(spark, _DICT_T0).select(
+        F.col("marker_cp").alias("token"),
+        F.col("marker_type").alias("dict_marker_type"),
+        "valid_from", "version", "repl_str")
+    out = asof_join_broadcast(ev, dc, on=["token"],
+                              left_time="event_time",
+                              right_time="valid_from")
+    return out.select(
+        "doc_id", F.col("idx").cast("long").alias("idx"),
+        F.col("token").cast("long").alias("token"),
+        F.col("dict_marker_type").alias("marker_type"),
+        F.col("version").cast("long").alias("version"), "repl_str")
+
+
+def _o_dict_asof():
+    return f"""
+    WITH ev AS ({_o_timed_events_cte()}),
+    d AS (
+      SELECT cp, repl_str, marker_type, off_min, version,
+             lead(off_min) OVER (PARTITION BY cp ORDER BY off_min)
+                 AS off_to
+      FROM {_dict_values_sql()})
+    SELECT ev.doc_id, ev.idx, ev.token, d.marker_type,
+           CAST(d.version AS BIGINT) AS version, d.repl_str
+    FROM ev JOIN d
+      ON ev.token = d.cp
+     AND ev.ev_min >= d.off_min
+     AND (d.off_to IS NULL OR ev.ev_min < d.off_to)"""
 
 
 def q_quarantine(spark, sf_dir):
@@ -1366,6 +1429,7 @@ def _o_quarantine():
 _EXTRA_QUERIES = {
     "quarantine": q_quarantine,
     "dict_join": q_dict_join,
+    "dict_asof": q_dict_asof,
     "exact_dedup": q_exact_dedup,
     "redact_pii": q_redact_pii,
     "ngram_topk": q_ngram_topk,
@@ -1389,6 +1453,7 @@ _EXTRA_QUERIES = {
 _EXTRA_ORACLES = {
     "quarantine": _o_quarantine,
     "dict_join": _o_dict_join,
+    "dict_asof": _o_dict_asof,
     "exact_dedup": _o_exact_dedup,
     "redact_pii": _o_redact_pii,
     "ngram_topk": _o_ngram_topk,

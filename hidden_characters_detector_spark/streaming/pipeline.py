@@ -180,6 +180,27 @@ def confusable_dict_join_batch(events: DataFrame, dict_df: DataFrame, *,
     return events.join(F.broadcast(dc), _dict_join_cond(validity), "inner")
 
 
+def dedup_stream(tok_stream: DataFrame, *, watermark: str = "10 minutes",
+                 keys: tuple[str, ...] = ("doc_id",)) -> DataFrame:
+    """Ingestion dedup for at-least-once upstreams: drop re-deliveries of
+    the same ``keys`` within the watermark window.
+
+    Uses ``dropDuplicatesWithinWatermark`` (not ``dropDuplicates``): plain
+    streaming dropDuplicates keeps every key in the state store FOREVER —
+    unbounded state on an unbounded stream — while the within-watermark
+    variant evicts a key once the watermark passes its first sighting plus
+    the delay, which is exactly the re-delivery window an at-least-once
+    source (Kafka redelivery, file-source replay, upstream retry) needs.
+    State size is O(distinct keys per watermark window), not O(stream).
+
+    Apply BEFORE the clean kernel (dedup early, clean once).  Caveat: rows
+    with NULL key values compare equal in the state store — run the
+    quarantine gate first if the source can produce null ids.
+    """
+    return (tok_stream.withWatermark("event_time", watermark)
+            .dropDuplicatesWithinWatermark(list(keys)))
+
+
 def scan_stats_stream(cleaned: DataFrame, *,
                       watermark: str = "10 minutes",
                       window: str = "1 minute") -> DataFrame:
