@@ -78,6 +78,13 @@ def main() -> None:
                          "of the per-source EWMA (default 3.0)")
     ap.add_argument("--anomaly-alpha", type=float, default=0.3)
     ap.add_argument("--anomaly-min-batches", type=int, default=3)
+    ap.add_argument("--quarantine", default=True,
+                    action=argparse.BooleanOptionalAction,
+                    help="route semantically null rows (null/empty doc_id, "
+                         "null tokens/event_time, n_tok mismatch) to "
+                         "<output>/quarantine instead of cleaning them "
+                         "(default on; --no-quarantine skips the gate and "
+                         "its per-batch raw re-scan)")
     ap.add_argument("--dict-stream", default=None, metavar="DIR",
                     help="directory of confusable-dictionary update files "
                          "(parquet, schema sources.confusable_dict."
@@ -152,6 +159,7 @@ def main() -> None:
             window=args.window,
             max_files_per_trigger=args.max_files_per_trigger,
             trigger_available_now=args.available_now,
+            quarantine=args.quarantine,
             query_name="cleaned-sink")
 
     # optional CEP branches: each is an independent streaming query over
@@ -238,11 +246,9 @@ def main() -> None:
             adf = read_sink(spark, adir)
             print(f"ANOMALY CEP rows={adf.count()} "
                   f"flagged={adf.where('is_anomaly').count()}")
-    if args.sink == "parquet":
-        qdir = os.path.join(args.output, "quarantine")
-        if os.path.isdir(qdir):
-            qdf = pipeline.read_quarantine(spark, args.output)
-            print(f"QUARANTINE rows={qdf.count()}")
+    if args.sink == "parquet" and args.quarantine:
+        qdf = pipeline.read_quarantine(spark, args.output)
+        print(f"QUARANTINE rows={qdf.count()}")
     n = rec.total_input_rows("cleaned-sink")
     dur = sum(p.get("batchDuration", 0) for p in rec.progress
               if p.get("name") == "cleaned-sink") / 1000.0
