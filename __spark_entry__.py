@@ -1426,7 +1426,84 @@ def _o_quarantine():
     FROM r GROUP BY quarantine_reason"""
 
 
+def q_pack_sequences(spark, sf_dir):
+    """Sequence packing census: documents grouped into ~2048-token training
+    sequences by the bucketed running-total rule
+    (``operators.packing.pack_documents`` — one shuffle on the bucket key +
+    a per-bucket sort; the deterministic distributed approximation of
+    greedy bin packing).  The oracle replicates the window arithmetic
+    verbatim, so bucket assignment, pack boundaries, doc counts, token
+    totals, and span endpoints are all under the hash gate."""
+    from hidden_characters_detector_spark.operators import packing
+    docs = _table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return packing.pack_summary(docs, size_col="n_chars", budget=2048,
+                                buckets=16)
+
+
+def _o_pack_sequences():
+    return """
+    WITH p AS (
+      SELECT doc_id, n_chars, doc_id % 16 AS bucket,
+             CAST(COALESCE(SUM(n_chars) OVER (
+                    PARTITION BY doc_id % 16 ORDER BY doc_id
+                    ROWS UNBOUNDED PRECEDING), 0) - n_chars AS BIGINT)
+                 AS excl
+      FROM documents)
+    SELECT bucket, CAST(excl // 2048 AS BIGINT) AS pack_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS n_tokens,
+           min(doc_id) AS first_doc, max(doc_id) AS last_doc
+    FROM p GROUP BY bucket, pack_id"""
+
+
+def q_chunk_tokens(spark, sf_dir):
+    """Sliding-window chunking: each doc's token array split into
+    128-token windows with 32-token overlap (stride 96), emitted as
+    per-chunk scalars (length / sum / endpoints) so the window arithmetic,
+    slice bounds, and tail behavior are value-checked without shipping the
+    arrays through the compare."""
+    from hidden_characters_detector_spark.operators import packing
+    docs = _table(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = tokenize(docs)
+    chunks = packing.chunk_tokens(tok, chunk=128, overlap=32)
+    return chunks.select(
+        "doc_id", "chunk_idx", "chunk_start", "n_chunk_tokens",
+        F.aggregate("chunk_tokens", F.lit(0).cast("long"),
+                    lambda a, x: a + x).alias("chunk_sum"),
+        F.element_at("chunk_tokens", 1).cast("long").alias("first_tok"),
+        F.element_at("chunk_tokens", -1).cast("long").alias("last_tok"))
+
+
+def _o_chunk_tokens():
+    # stride 96, chunk 128; list_slice is 1-based inclusive; chunk_idx =
+    # start // stride (no WITH ORDINALITY in DuckDB)
+    return """
+    WITH tok AS (
+      SELECT doc_id,
+             list_transform(range(1, length(text) + 1),
+                 i -> unicode(substr(text, CAST(i AS INTEGER), 1))) AS ts,
+             length(text) AS n
+      FROM documents WHERE length(text) > 0),
+    st AS (
+      SELECT doc_id, ts, n, CAST(s.s AS BIGINT) AS chunk_start
+      FROM tok, unnest(range(0,
+             CAST(greatest(ceil((n - 128) / 96.0), 0) AS BIGINT) * 96 + 1,
+             96)) AS s(s)),
+    c AS (
+      SELECT doc_id, chunk_start // 96 AS chunk_idx, chunk_start,
+             list_slice(ts, chunk_start + 1, chunk_start + 128) AS ck
+      FROM st)
+    SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx, chunk_start,
+           CAST(len(ck) AS BIGINT) AS n_chunk_tokens,
+           CAST(list_sum(ck) AS BIGINT) AS chunk_sum,
+           CAST(ck[1] AS BIGINT) AS first_tok,
+           CAST(ck[-1] AS BIGINT) AS last_tok
+    FROM c"""
+
+
 _EXTRA_QUERIES = {
+    "pack_sequences": q_pack_sequences,
+    "chunk_tokens": q_chunk_tokens,
     "quarantine": q_quarantine,
     "dict_join": q_dict_join,
     "dict_asof": q_dict_asof,
@@ -1451,6 +1528,8 @@ _EXTRA_QUERIES = {
 }
 
 _EXTRA_ORACLES = {
+    "pack_sequences": _o_pack_sequences,
+    "chunk_tokens": _o_chunk_tokens,
     "quarantine": _o_quarantine,
     "dict_join": _o_dict_join,
     "dict_asof": _o_dict_asof,

@@ -1,0 +1,102 @@
+"""Sequence packing and chunking for LLM training-data pipelines.
+
+Two shapes every tokenized-corpus pipeline needs before training:
+
+* :func:`pack_documents` — group whole documents into training sequences of
+  ~``budget`` tokens ("sequence packing": small docs share a sequence so
+  padding isn't wasted).  True greedy bin packing is a serial fold, so it
+  is made distributed by bucketing: documents hash into ``buckets``
+  independent streams, and WITHIN a bucket the assignment is a
+  deterministic running-total rule — a doc belongs to the pack numbered
+  ``floor(exclusive_cumsum / budget)`` over docs ordered by id.  A doc
+  whose span crosses a boundary stays in the pack where it started
+  (packs overflow by at most one doc; an oversized doc owns its packs'
+  span) — the usual approximation, stated as a spec so an external oracle
+  can replicate it bit-for-bit.  Cost shape at 100 TB: ONE shuffle on the
+  bucket key + a per-bucket sort — no driver-side loop, no global sort,
+  bucket count chosen so each bucket's doc list fits a task.
+
+* :func:`chunk_tokens` — split each document's token array into fixed
+  windows of ``chunk`` tokens advancing by ``chunk - overlap`` (sliding
+  context windows).  Pure per-row JVM higher-order functions (sequence →
+  explode → slice): no Python, no shuffle, embarrassingly parallel.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def pack_documents(df: DataFrame, id_col: str = "doc_id",
+                   size_col: str = "n_tok", *, budget: int = 2048,
+                   buckets: int = 16) -> DataFrame:
+    """Assign each document to a (bucket, pack_id) training sequence.
+
+    Deterministic and partitioning-independent: the bucket is a pure
+    function of the id (``id mod buckets`` — portable to the SQL oracle),
+    the in-bucket order is the id, and the pack is the running-total rule
+    above.  Adds ``bucket``, ``pack_id``, and ``pack_offset`` (the doc's
+    token offset inside its pack's running span).
+    """
+    b = F.pmod(F.col(id_col).cast("long"), F.lit(buckets))
+    out = df.withColumn("bucket", b)
+    w = Window.partitionBy("bucket").orderBy(id_col)
+    excl = (F.coalesce(F.sum(size_col).over(w), F.lit(0))
+            - F.col(size_col)).cast("long")
+    return (out
+            .withColumn("pack_id",
+                        F.floor(excl / F.lit(budget)).cast("long"))
+            .withColumn("pack_offset",
+                        (excl - F.floor(excl / F.lit(budget))
+                         * F.lit(budget)).cast("long")))
+
+
+def pack_summary(df: DataFrame, id_col: str = "doc_id",
+                 size_col: str = "n_tok", *, budget: int = 2048,
+                 buckets: int = 16) -> DataFrame:
+    """Per-pack census: how many docs and tokens each training sequence
+    holds (the fill-rate profile that tells you whether the budget/bucket
+    choice wastes padding)."""
+    packed = pack_documents(df, id_col, size_col, budget=budget,
+                            buckets=buckets)
+    return (packed.groupBy("bucket", "pack_id")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.sum(size_col).cast("long").alias("n_tokens"),
+                 F.min(id_col).alias("first_doc"),
+                 F.max(id_col).alias("last_doc")))
+
+
+def chunk_tokens(df: DataFrame, tokens_col: str = "tokens",
+                 id_col: str = "doc_id", *, chunk: int = 512,
+                 overlap: int = 64) -> DataFrame:
+    """Explode each doc's token array into sliding windows: starts at
+    0, stride ``chunk - overlap``, window length ``chunk`` (the final
+    window is shorter).  A start is emitted only while it points at
+    unseen tokens (start < n for the first window; start chosen so the
+    previous window didn't already cover the tail).  Empty docs emit no
+    chunks.  Output: one row per (doc, chunk_idx) with the chunk slice.
+    """
+    if overlap >= chunk:
+        raise ValueError("overlap must be < chunk")
+    stride = chunk - overlap
+    n = F.size(tokens_col)
+    # last start: the largest k*stride that still begins before the end of
+    # unseen territory — ceil((n - chunk) / stride) capped below at 0
+    last = F.greatest(
+        F.ceil((n - F.lit(chunk)) / F.lit(stride)).cast("long"), F.lit(0))
+    starts = F.when(n > 0, F.sequence(
+        F.lit(0).cast("long"), (last * F.lit(stride)).cast("long"),
+        F.lit(stride).cast("long"))
+    ).otherwise(F.array().cast("array<long>"))
+    # posexplode alongside the array column: one projection, no self-join
+    out = df.select(
+        id_col, F.col(tokens_col).alias("_tok"),
+        F.posexplode(starts).alias("chunk_idx", "chunk_start"))
+    sl = F.slice(F.col("_tok"), F.col("chunk_start").cast("int") + 1,
+                 chunk)
+    return (out.select(id_col,
+                       F.col("chunk_idx").cast("long").alias("chunk_idx"),
+                       "chunk_start", sl.alias("chunk_tokens"))
+            .withColumn("n_chunk_tokens",
+                        F.size("chunk_tokens").cast("long")))

@@ -1,0 +1,98 @@
+"""Sequence packing / chunking semantics and plan shapes."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hidden_characters_detector_spark.operators import packing
+
+
+def test_pack_documents_running_total_rule(spark):
+    """Docs accumulate into packs by exclusive-cumsum // budget within a
+    bucket; a doc crossing the boundary stays in the pack where it
+    started; an oversized doc owns the packs its span covers (the next doc
+    starts a later pack)."""
+    docs = spark.createDataFrame(
+        [(0, 900), (16, 900), (32, 900),   # bucket 0: cum 900/1800/2700
+         (48, 5000), (64, 10)],            # oversized doc then a tail doc
+        "doc_id long, n_tok long")
+    rows = {r["doc_id"]: r for r in
+            packing.pack_documents(docs, budget=2048, buckets=16)
+            .collect()}
+    assert all(r["bucket"] == 0 for r in rows.values())
+    assert rows[0]["pack_id"] == 0 and rows[0]["pack_offset"] == 0
+    assert rows[16]["pack_id"] == 0 and rows[16]["pack_offset"] == 900
+    # starts at 1800 < 2048 -> stays in pack 0 (overflow allowed)
+    assert rows[32]["pack_id"] == 0 and rows[32]["pack_offset"] == 1800
+    # starts at 2700 -> pack 1; spans to 7700
+    assert rows[48]["pack_id"] == 1
+    # next doc starts at 7700 -> pack 3 (the oversized doc owned 1..3)
+    assert rows[64]["pack_id"] == 3
+
+
+def test_pack_documents_partitioning_independent(spark):
+    docs = spark.range(0, 500).selectExpr(
+        "id AS doc_id", "(id % 37) * 100 + 50 AS n_tok")
+    a = sorted(map(tuple, packing.pack_documents(docs).collect()))
+    b = sorted(map(tuple,
+                   packing.pack_documents(docs.repartition(7)).collect()))
+    assert a == b
+
+
+def test_chunk_tokens_windows_and_tail(spark):
+    df = spark.createDataFrame(
+        [("d1", list(range(10))),     # 10 toks, chunk 4, overlap 1 ->
+                                      # starts 0,3,6 (stride 3; window 6
+                                      # reaches the end, no redundant tail)
+         ("d2", [1, 2]),              # shorter than chunk -> one chunk
+         ("d3", [])],                 # empty -> no chunks
+        "doc_id string, tokens array<int>")
+    out = packing.chunk_tokens(df, chunk=4, overlap=1)
+    rows = sorted((r["doc_id"], r["chunk_start"], list(r["chunk_tokens"]))
+                  for r in out.collect())
+    assert rows == [
+        ("d1", 0, [0, 1, 2, 3]),
+        ("d1", 3, [3, 4, 5, 6]),
+        ("d1", 6, [6, 7, 8, 9]),
+        ("d2", 0, [1, 2]),
+    ]
+    # every token is covered; consecutive windows overlap by `overlap`
+    d1 = [r for r in rows if r[0] == "d1"]
+    covered = sorted({t for _, _, ck in d1 for t in ck})
+    assert covered == list(range(10))
+
+
+def test_chunk_tokens_rejects_bad_overlap(spark):
+    df = spark.createDataFrame([("d", [1])],
+                               "doc_id string, tokens array<int>")
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="overlap"):
+        packing.chunk_tokens(df, chunk=4, overlap=4)
+
+
+def test_packing_plan_shapes(spark):
+    """pack: exactly one exchange (on the bucket key) feeding the window
+    sort; chunk: a pure projection+generate — NO exchange anywhere."""
+    docs = spark.range(0, 100).selectExpr("id AS doc_id",
+                                          "100 AS n_tok")
+    pplan = packing.pack_documents(docs)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert pplan.count("Exchange hashpartitioning") == 1
+    assert "bucket" in pplan
+
+    tok = spark.range(0, 100).selectExpr(
+        "cast(id as string) AS doc_id",
+        "sequence(0, cast(id % 300 as int)) AS tokens")
+    cplan = packing.chunk_tokens(tok)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in cplan
+    assert "Generate" in cplan  # the posexplode
+
+
+def test_pack_summary_conserves_tokens(spark):
+    docs = spark.range(0, 300).selectExpr(
+        "id AS doc_id", "(id % 53) * 77 + 10 AS n_tok")
+    summ = packing.pack_summary(docs)
+    total = summ.agg(F.sum("n_tokens"), F.sum("n_docs")).collect()[0]
+    expect = docs.agg(F.sum("n_tok"), F.count("*")).collect()[0]
+    assert (total[0], total[1]) == (expect[0], expect[1])
