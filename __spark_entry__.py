@@ -1307,7 +1307,7 @@ def _dict_values_sql() -> str:
     rows = []
     for cp, repl, mt in confusable_dict.base_rules():
         for v, off in confusable_dict.versioned_offsets(cp):
-            rs = ",".join(str(c) for c in repl) + f"#v{v}"
+            rs = confusable_dict.repl_str(repl, v)
             rows.append(f"({cp}, {osql.q(rs)}, {osql.q(mt)}, {off}, {v})")
     return ("(VALUES " + ", ".join(rows)
             + ") AS d(cp, repl_str, marker_type, off_min, version)")

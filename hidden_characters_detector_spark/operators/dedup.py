@@ -215,19 +215,21 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id", *,
                       text_col: str = "text",
                       jaccard_threshold: float = 0.7,
                       seed: int = 42,
-                      materialize: bool = True) -> DataFrame:
+                      materialize: bool = False) -> DataFrame:
     """Near-duplicate pairs via banded MinHash LSH, filtered by the
     signature-agreement Jaccard estimate.
 
     Returns (doc_a, doc_b, est_jaccard), doc_a < doc_b, deduplicated.
 
-    ``materialize=True`` (default) persists the signature table so the
-    kernel runs once across the band branch and the est-Jaccard re-attach,
-    then EAGERLY materializes the (tiny) pair result, unpersists the
-    signature cache, and returns the persisted result — no cache outlives
-    the call except the returned handle, which the caller can
-    ``.unpersist()``.  ``materialize=False`` stays fully lazy at the cost
-    of re-running the deterministic signature kernel per branch.
+    Lazy by default (``materialize=False``): building the DataFrame runs
+    no job and leaves no cache — the deterministic signature kernel simply
+    re-runs per branch of the plan (band self-join + the two est-Jaccard
+    re-attaches).  ``materialize=True`` is the opt-in for repeated
+    consumption: it persists the signature table so the kernel runs once,
+    EAGERLY materializes the (tiny) pair result, unpersists the signature
+    cache, and returns the persisted result — the CALLER owns that handle
+    and must ``.unpersist()`` it when done (a caller that drops it leaks
+    one small cache for the session, which is why it is not the default).
     """
     cand, sig = _lsh_candidates(df, id_col, text_col, num_perm=num_perm,
                                 bands=bands, seed=seed,

@@ -197,13 +197,11 @@ def resample_audio(df: DataFrame, *, target_rate: int = 16000,
     the oracle-checked default in tests; when ``soundfile`` is importable
     the real path decodes, linearly resamples to ``target_rate`` (np.interp
     — a production job would use a polyphase filter), and emits per-segment
-    RMS energies over ``out_dim`` equal splits, unit-normalized."""
-    if deterministic_fake or _soundfile() is None:
-        if not deterministic_fake:
-            raise NotImplementedError(
-                "audio codec not available (soundfile not importable); "
-                "install soundfile for real decode or pass "
-                "deterministic_fake=True for the plumbing path")
+    RMS energies over ``out_dim`` equal splits, unit-normalized.  The codec
+    is resolved INSIDE the worker (mirroring :func:`decode_images`):
+    gating on the driver's import would crash with an opaque error on
+    clusters where driver and executor environments differ."""
+    if deterministic_fake:
         return decode_images(df, out_dim=out_dim, deterministic_fake=True,
                              media_col=media_col) \
             .withColumnRenamed("img_features", "audio_features") \
@@ -218,6 +216,11 @@ def resample_audio(df: DataFrame, *, target_rate: int = 16000,
         from io import BytesIO
 
         sf_mod = _soundfile()
+        if sf_mod is None:
+            raise NotImplementedError(
+                "audio codec not available on this executor (soundfile "
+                "not importable); install soundfile for real decode or "
+                "pass deterministic_fake=True for the plumbing path")
         for batch in batches:
             blobs = batch.column(media_col).to_pylist()
             feats = np.zeros((len(blobs), out_dim), dtype=np.float64)

@@ -34,12 +34,21 @@ def pack_documents(df: DataFrame, id_col: str = "doc_id",
     """Assign each document to a (bucket, pack_id) training sequence.
 
     Deterministic and partitioning-independent: the bucket is a pure
-    function of the id (``id mod buckets`` — portable to the SQL oracle),
-    the in-bucket order is the id, and the pack is the running-total rule
-    above.  Adds ``bucket``, ``pack_id``, and ``pack_offset`` (the doc's
-    token offset inside its pack's running span).
+    function of the id — ``id mod buckets`` for numeric ids (portable to
+    the SQL oracle), a Murmur3 hash bucket for string ids (NOT
+    SQL-portable, but correct and parallel; casting a string id to long
+    would yield NULL and silently collapse the whole dataset into ONE
+    window partition).  The in-bucket order is the id; the pack is the
+    running-total rule above.  Adds ``bucket``, ``pack_id``, and
+    ``pack_offset`` (the doc's token offset inside its pack's running
+    span).
     """
-    b = F.pmod(F.col(id_col).cast("long"), F.lit(buckets))
+    from pyspark.sql.types import NumericType
+
+    if isinstance(df.schema[id_col].dataType, NumericType):
+        b = F.pmod(F.col(id_col).cast("long"), F.lit(buckets))
+    else:
+        b = F.pmod(F.hash(id_col), F.lit(buckets))
     out = df.withColumn("bucket", b)
     w = Window.partitionBy("bucket").orderBy(id_col)
     excl = (F.coalesce(F.sum(size_col).over(w), F.lit(0))

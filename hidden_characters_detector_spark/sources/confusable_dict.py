@@ -88,6 +88,14 @@ def versioned_offsets(cp: int) -> list[tuple[int, int]]:
     return [(0, -120), (1, v1), (2, v1 + 15)]
 
 
+def repl_str(repl: list[int], version: int) -> str:
+    """The version-tagged payload string carried through the dict joins:
+    replacement codepoints comma-joined + ``#vN``.  ONE definition — the
+    Spark dict builder and the oracle's VALUES literal both call this, so
+    the payload format cannot drift between engine and oracle."""
+    return ",".join(str(c) for c in repl) + f"#v{version}"
+
+
 def versioned_dict(spark: SparkSession,
                    base_iso: str = "2024-01-01 00:00:00") -> DataFrame:
     """Batch versioned dictionary: every rule at three ``valid_from``
@@ -103,8 +111,7 @@ def versioned_dict(spark: SparkSession,
     rows = []
     for cp, repl, mt in base_rules():
         for v, off in versioned_offsets(cp):
-            rs = ",".join(str(c) for c in repl) + f"#v{v}"
-            rows.append((cp, repl, rs, mt, off, v))
+            rows.append((cp, repl, repl_str(repl, v), mt, off, v))
     df = spark.createDataFrame(
         rows, "marker_cp int, replacement array<int>, repl_str string, "
               "marker_type string, off_min int, version int")

@@ -223,23 +223,36 @@ def _source_wal_files(checkpoint_dir: str, batch_id: int,
     source's checkpoint WAL (``sources/<idx>/<batch_id>``: a version line
     followed by one JSON entry per file).  This is the list Spark commits
     BEFORE executing the batch and re-reads on crash replay — the same
-    determinism contract the exactly-once sink rests on.  Empty when the
-    entry doesn't exist (e.g. a no-data batch)."""
+    determinism contract the exactly-once sink rests on.
+
+    Every ``compactInterval``-th batch (default 10) Spark writes
+    ``<batch_id>.compact`` instead: a CUMULATIVE log of every file seen so
+    far, each entry tagged with its ``batchId`` — so the compact form is
+    read with a batchId filter.  Missing both forms ⇒ a no-data batch ⇒
+    empty list.
+    """
     import json
     import os
 
-    path = os.path.join(checkpoint_dir, "sources", str(source_idx),
+    base = os.path.join(checkpoint_dir, "sources", str(source_idx),
                         str(batch_id))
-    if not os.path.exists(path):
-        return []
-    files = []
-    with open(path) as f:
-        for line in f:
-            line = line.strip()
-            if not line or line.startswith("v"):
-                continue
-            files.append(json.loads(line)["path"])
-    return files
+
+    def entries(path):
+        out = []
+        with open(path) as f:
+            for line in f:
+                line = line.strip()
+                if not line or line.startswith("v"):
+                    continue
+                out.append(json.loads(line))
+        return out
+
+    if os.path.exists(base):
+        return [e["path"] for e in entries(base)]
+    if os.path.exists(base + ".compact"):
+        return [e["path"] for e in entries(base + ".compact")
+                if e.get("batchId") == batch_id]
+    return []
 
 
 def single_pass_pipeline(spark: SparkSession, input_path: str, out_dir: str,
@@ -298,10 +311,23 @@ def single_pass_pipeline(spark: SparkSession, input_path: str, out_dir: str,
     Returns the started StreamingQuery.
     """
     import os
+    from urllib.parse import urlparse
 
     from ..operators.quarantine import (QUARANTINE_REASON_COL,
                                         with_quarantine_reason)
     from ..sinks.exactly_once import parquet_dir_rows, write_batch_partition
+
+    scheme = urlparse(checkpoint_dir).scheme
+    if quarantine and scheme not in ("", "file"):
+        # the gate reads the source WAL via local I/O; silently skipping it
+        # on hdfs://-style checkpoints would DROP bad rows from both sinks
+        # (the in-stream filter still excludes them from the clean sink) —
+        # fail loudly instead
+        raise ValueError(
+            f"quarantine=True requires a local checkpoint (got scheme "
+            f"'{scheme}'): the gate resolves each batch's input files from "
+            "the source WAL with local file I/O.  Pass quarantine=False, "
+            "or use a local checkpoint path.")
 
     tok = read_token_stream(spark, input_path,
                             max_files_per_trigger=max_files_per_trigger)
@@ -378,21 +404,26 @@ def single_pass_pipeline(spark: SparkSession, input_path: str, out_dir: str,
     return writer.start()
 
 
-QUARANTINE_SCHEMA = TOKEN_STREAM_SCHEMA + ", quarantine_reason string"
+QUARANTINE_SCHEMA = (TOKEN_STREAM_SCHEMA
+                     + ", quarantine_reason string, batch_id int")
 
 
 def read_quarantine(spark: SparkSession, out_dir: str) -> DataFrame:
     """Quarantined rows across all committed batches (original record +
-    ``quarantine_reason``), for audit / reprocessing.  Empty (with the
-    correct schema) when no batch has quarantined anything."""
+    ``quarantine_reason`` + the ``batch_id`` partition column), for audit /
+    reprocessing.  Empty WITH THE SAME SCHEMA when no batch has
+    quarantined anything — the partition column is cast to int on the
+    non-empty path so callers never see a schema that depends on whether
+    anything was quarantined."""
     import os
 
     qdir = os.path.join(out_dir, "quarantine")
     if not os.path.isdir(qdir) or not any(
             d.startswith("batch_id=") for d in os.listdir(qdir)):
         return spark.createDataFrame([], QUARANTINE_SCHEMA)
-    return spark.read.option("basePath", qdir).parquet(
+    return (spark.read.option("basePath", qdir).parquet(
         os.path.join(qdir, "batch_id=*"))
+        .withColumn("batch_id", F.col("batch_id").cast("int")))
 
 
 def read_density(spark: SparkSession, out_dir: str) -> DataFrame:

@@ -96,3 +96,20 @@ def test_pack_summary_conserves_tokens(spark):
     total = summ.agg(F.sum("n_tokens"), F.sum("n_docs")).collect()[0]
     expect = docs.agg(F.sum("n_tok"), F.count("*")).collect()[0]
     assert (total[0], total[1]) == (expect[0], expect[1])
+
+
+def test_pack_documents_string_ids_stay_parallel(spark):
+    """String ids must hash-bucket, not cast-to-long (which yields NULL
+    and collapses the dataset into one window partition)."""
+    docs = spark.range(0, 200).selectExpr(
+        "concat('doc_', id) AS doc_id", "(id % 11) * 100 + 10 AS n_tok")
+    out = packing.pack_documents(docs, buckets=8)
+    got = out.select("bucket").distinct().collect()
+    buckets = {r["bucket"] for r in got}
+    assert None not in buckets
+    assert len(buckets) > 1          # genuinely spread across buckets
+    # still deterministic / partitioning-independent
+    a = sorted(map(tuple, out.collect()))
+    b = sorted(map(tuple, packing.pack_documents(
+        docs.repartition(5), buckets=8).collect()))
+    assert a == b

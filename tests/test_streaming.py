@@ -826,3 +826,42 @@ def test_single_pass_pipeline_quarantines_bad_records(spark, tmp_path):
         time.sleep(0.5)
     assert rec.observed("clean_metrics", "n_quarantined") == 5
     assert rec.observed("clean_metrics", "n_seq") == 7
+
+
+def test_quarantine_survives_source_log_compaction(spark, tmp_path):
+    """Every compactInterval-th batch the file source writes its WAL entry
+    as <id>.compact (a cumulative log) instead of <id>; the quarantine
+    gate must resolve those batches' file lists too — a regression here
+    silently DROPS bad rows from both sinks on every Nth batch."""
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    os.makedirs(src)
+    now = time.time()
+    prev = spark.conf.get("spark.sql.streaming.fileSource.log"
+                          ".compactInterval", "10")
+    spark.conf.set("spark.sql.streaming.fileSource.log.compactInterval",
+                   "2")
+    try:
+        # one good + one bad row per file; maxFilesPerTrigger=1 makes one
+        # batch per file, so batches 1 and 3 are compact batches
+        for i in range(4):
+            _write_file(spark,
+                        [_row(f"g{i}", [A, ZWSP], "web", _mins(i)),
+                         (f"b{i}", None, 0, "web", _mins(i))],
+                        os.path.join(src, f"f{i}"), now - 300 + i)
+        q = pipeline.single_pass_pipeline(spark, src, out,
+                                          str(tmp_path / "ck"),
+                                          max_files_per_trigger=1)
+        q.awaitTermination(180)
+    finally:
+        spark.conf.set("spark.sql.streaming.fileSource.log"
+                       ".compactInterval", prev)
+    # WAL form sanity: at least one batch actually used the compact form
+    wal_dir = os.path.join(str(tmp_path / "ck"), "sources", "0")
+    assert any(f.endswith(".compact") for f in os.listdir(wal_dir))
+    quar = sorted(r["doc_id"] for r in
+                  pipeline.read_quarantine(spark, out).collect())
+    assert quar == ["b0", "b1", "b2", "b3"]   # none lost to compaction
+    sink = read_sink(spark, os.path.join(out, "cleaned"))
+    assert sorted(r["doc_id"] for r in sink.collect()) == \
+        ["g0", "g1", "g2", "g3"]
