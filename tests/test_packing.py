@@ -113,3 +113,57 @@ def test_pack_documents_string_ids_stay_parallel(spark):
     b = sorted(map(tuple, packing.pack_documents(
         docs.repartition(5), buckets=8).collect()))
     assert a == b
+
+
+def test_chunk_and_pack_invariants_bulk(spark):
+    """Spec invariants over a diverse seeded corpus (one Spark round trip,
+    invariants checked in plain Python): chunk windows cover every token
+    exactly with `overlap`-token overlaps and no redundant tail; pack
+    offsets advance by doc size within a bucket and every pack starts at
+    pack_id * budget of the running span."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    lens = [int(x) for x in
+            np.concatenate([rng.integers(0, 5, 40),       # tiny + empty
+                            rng.integers(5, 130, 80),     # sub-chunk
+                            rng.integers(130, 900, 80)])]  # multi-chunk
+    docs = spark.createDataFrame(
+        [(i, list(range(n))) for i, n in enumerate(lens)],
+        "doc_id long, tokens array<int>")
+    chunk, overlap = 128, 32
+    stride = chunk - overlap
+    out = packing.chunk_tokens(docs, chunk=chunk, overlap=overlap)
+    by_doc: dict[int, list] = {}
+    for r in out.collect():
+        by_doc.setdefault(r["doc_id"], []).append(
+            (r["chunk_idx"], r["chunk_start"], list(r["chunk_tokens"])))
+    for i, n in enumerate(lens):
+        chunks = sorted(by_doc.get(i, []))
+        if n == 0:
+            assert chunks == []
+            continue
+        assert [c[0] for c in chunks] == list(range(len(chunks)))
+        assert all(c[1] == c[0] * stride for c in chunks)
+        covered = sorted({t for _, _, ck in chunks for t in ck})
+        assert covered == list(range(n))            # full coverage
+        assert all(len(ck) <= chunk for _, _, ck in chunks)
+        if len(chunks) > 1:
+            # no redundant tail: the second-to-last window must NOT
+            # already reach the end
+            assert chunks[-2][1] + chunk < n
+
+    sizes = docs.selectExpr("doc_id", "size(tokens) AS n_tok")
+    packed = packing.pack_documents(sizes, budget=256, buckets=4)
+    rows = sorted(map(tuple, packed.select(
+        "bucket", "doc_id", "n_tok", "pack_id", "pack_offset").collect()))
+    by_bucket: dict[int, list] = {}
+    for b, d, n, p, off in rows:
+        by_bucket.setdefault(b, []).append((d, n, p, off))
+    for b, ds in by_bucket.items():
+        ds.sort()
+        run = 0
+        for d, n, p, off in ds:
+            assert off == run % 256
+            assert p == run // 256                  # running-total rule
+            run += n
