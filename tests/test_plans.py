@@ -242,3 +242,21 @@ def test_dict_join_broadcasts_dictionary_side(spark):
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan  # equi-key on token=marker_cp
+
+
+def test_quarantine_reason_is_pure_codegen_projection(spark):
+    """The validity gate must stay a zero-shuffle, zero-Python projection:
+    at 100 TB it runs on every row of every batch, so an Exchange or a
+    Python eval here would be a silent order-of-magnitude regression."""
+    from hidden_characters_detector_spark.operators.quarantine import (
+        with_quarantine_reason)
+
+    tok = spark.range(0, 10).selectExpr(
+        "cast(id as string) AS doc_id", "array(1, 2) AS tokens",
+        "2 AS n_tok", "'web' AS source",
+        "timestamp'2024-01-01' AS event_time")
+    plan = with_quarantine_reason(tok)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+    assert plan.lstrip().startswith("*(")   # whole-stage codegen stage
