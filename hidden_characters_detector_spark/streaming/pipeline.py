@@ -379,9 +379,21 @@ def single_pass_pipeline(spark: SparkSession, input_path: str, out_dir: str,
             # for the 4.8M-row batch); repartition keeps the scan parallel
             # and only the (tiny) post-filter write runs in one task
             bad.repartition(1).write.mode("overwrite").parquet(qpath)
-            if parquet_dir_rows(qpath) == 0:
+            n_bad = parquet_dir_rows(qpath)
+            if n_bad == 0:
                 import shutil
                 shutil.rmtree(qpath, ignore_errors=True)
+            else:
+                # same manifest contract as the main sink, so compact_sink
+                # can fold quarantine batch dirs too (its manifest gate
+                # would otherwise skip every one of them forever)
+                import json as _json
+                manifest = os.path.join(
+                    quar_dir, f"_manifest_batch_{batch_id}.json")
+                tmp = manifest + ".tmp"
+                with open(tmp, "w") as f:
+                    _json.dump({"batch_id": batch_id, "rows": n_bad}, f)
+                os.replace(tmp, manifest)
         committed = batch_df.sparkSession.read.parquet(
             os.path.join(sink_dir, f"batch_id={batch_id}"))
         dens = (committed
@@ -411,19 +423,24 @@ QUARANTINE_SCHEMA = (TOKEN_STREAM_SCHEMA
 def read_quarantine(spark: SparkSession, out_dir: str) -> DataFrame:
     """Quarantined rows across all committed batches (original record +
     ``quarantine_reason`` + the ``batch_id`` partition column), for audit /
-    reprocessing.  Empty WITH THE SAME SCHEMA when no batch has
-    quarantined anything — the partition column is cast to int on the
-    non-empty path so callers never see a schema that depends on whether
-    anything was quarantined."""
+    reprocessing.  Compaction-aware (quarantine batch dirs carry the same
+    manifest contract as the main sink, so ``compact_sink`` folds them into
+    generations too — readback goes through :func:`sinks.exactly_once
+    .read_sink`).  Empty WITH THE SAME SCHEMA when no batch has quarantined
+    anything — the partition column is cast to int so callers never see a
+    schema that depends on whether anything was quarantined."""
     import os
 
+    from ..sinks.exactly_once import read_sink
+
     qdir = os.path.join(out_dir, "quarantine")
-    if not os.path.isdir(qdir) or not any(
-            d.startswith("batch_id=") for d in os.listdir(qdir)):
+    has_batches = os.path.isdir(qdir) and any(
+        d.startswith("batch_id=") or d.startswith("gen-")
+        for d in os.listdir(qdir))
+    if not has_batches:
         return spark.createDataFrame([], QUARANTINE_SCHEMA)
-    return (spark.read.option("basePath", qdir).parquet(
-        os.path.join(qdir, "batch_id=*"))
-        .withColumn("batch_id", F.col("batch_id").cast("int")))
+    return read_sink(spark, qdir).withColumn(
+        "batch_id", F.col("batch_id").cast("int"))
 
 
 def read_density(spark: SparkSession, out_dir: str) -> DataFrame:

@@ -233,6 +233,12 @@ def main() -> None:
                             target_rows_per_file=args.compact_target_rows)
         print(f"COMPACTED up_to={info['up_to']} rows={info['rows']} "
               f"files={info['files']}")
+        qdir = os.path.join(args.output, "quarantine")
+        if args.quarantine and os.path.isdir(qdir):
+            qinfo = compact_sink(spark, qdir,
+                                 target_rows_per_file=args.compact_target_rows)
+            print(f"COMPACTED-QUARANTINE up_to={qinfo['up_to']} "
+                  f"rows={qinfo['rows']} files={qinfo['files']}")
     if args.dict_stream:
         ddir = os.path.join(args.output, "dict_join")
         n_dj = (spark.read.parquet(ddir).count()

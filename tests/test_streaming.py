@@ -865,3 +865,49 @@ def test_quarantine_survives_source_log_compaction(spark, tmp_path):
     sink = read_sink(spark, os.path.join(out, "cleaned"))
     assert sorted(r["doc_id"] for r in sink.collect()) == \
         ["g0", "g1", "g2", "g3"]
+
+
+def test_quarantine_compacts_and_reads_back(spark, tmp_path):
+    """Quarantine batch dirs carry the main sink's manifest contract, so
+    compact_sink folds them into a generation and read_quarantine (via
+    read_sink) returns identical rows before and after — plus newer
+    batches union in."""
+    from hidden_characters_detector_spark.sinks.exactly_once import (
+        compact_sink)
+
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    os.makedirs(src)
+    now = time.time()
+    for i in range(3):
+        _write_file(spark,
+                    [_row(f"g{i}", [A], "web", _mins(i)),
+                     (f"b{i}", None, 0, "web", _mins(i))],
+                    os.path.join(src, f"f{i}"), now - 300 + i)
+    q = pipeline.single_pass_pipeline(spark, src, out,
+                                      str(tmp_path / "ck"),
+                                      max_files_per_trigger=1)
+    q.awaitTermination(180)
+    qdir = os.path.join(out, "quarantine")
+    before = sorted(r["doc_id"] for r in
+                    pipeline.read_quarantine(spark, out).collect())
+    assert before == ["b0", "b1", "b2"]
+    assert any(f.startswith("_manifest_batch_")
+               for f in os.listdir(qdir))
+
+    info = compact_sink(spark, qdir, target_rows_per_file=1000)
+    assert info["rows"] == 3 and info["gen_seq"] == 1
+    after = sorted(r["doc_id"] for r in
+                   pipeline.read_quarantine(spark, out).collect())
+    assert after == before
+
+    # a later run adds a new bad batch: unions in above the compaction
+    _write_file(spark, [("b3", None, 0, "web", _mins(9))],
+                os.path.join(src, "f3"), now - 100)
+    q2 = pipeline.single_pass_pipeline(spark, src, out,
+                                       str(tmp_path / "ck"),
+                                       max_files_per_trigger=1)
+    q2.awaitTermination(180)
+    final = sorted(r["doc_id"] for r in
+                   pipeline.read_quarantine(spark, out).collect())
+    assert final == ["b0", "b1", "b2", "b3"]
