@@ -523,3 +523,33 @@ def test_resample_audio_real_codec(spark):
     feats = out[0]["audio_features"]
     assert len(feats) == 4 and abs(sum(x * x for x in feats) - 1.0) < 1e-9
     assert out[0]["resampled_rate"] == 16000
+
+
+def _cached_rdd_count(spark):
+    return len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+
+
+def test_dedup_ops_do_not_leak_caches(spark, docs):
+    """Cache-lifetime contract (the round-3 advisory's leak class): the
+    lazy pair operators leave ZERO persisted tables behind after
+    collection; dedup_groups leaves exactly its returned (tiny, eagerly
+    materialized) handle, which the caller can actually release."""
+    spark.catalog.clearCache()
+    base = _cached_rdd_count(spark)
+
+    dedup.minhash_lsh_pairs(docs, jaccard_threshold=0.5).collect()
+    dedup.verified_near_dups(docs, jaccard_threshold=0.5).collect()
+    assert _cached_rdd_count(spark) == base      # fully lazy paths
+
+    out = dedup.dedup_groups(docs, jaccard_threshold=0.5)
+    out.collect()
+    assert _cached_rdd_count(spark) == base + 1  # only the owned handle
+    out.unpersist()
+    assert _cached_rdd_count(spark) == base      # and it actually frees
+
+    # the eager opt-in also cleans up everything but its returned handle
+    h = dedup.minhash_lsh_pairs(docs, jaccard_threshold=0.5,
+                                materialize=True)
+    assert _cached_rdd_count(spark) == base + 1
+    h.unpersist()
+    assert _cached_rdd_count(spark) == base
