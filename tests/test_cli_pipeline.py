@@ -180,3 +180,30 @@ def test_cli_dict_stream_join(spark, tmp_path):
     qrow = [r for r in rows
             if r["doc_id"] == "dj" and r["token"] == QUOTE][0]
     assert qrow["replacement"] == [ord("'")]
+
+
+def test_cli_no_quarantine_passes_bad_rows_through(spark, tmp_path):
+    """--no-quarantine disables the gate: semantically null rows flow
+    through the kernel (null tokens treated as empty) into the clean sink
+    and no quarantine directory is created."""
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    os.makedirs(src)
+    now = time.time()
+    _write_file(spark, [("g0", [A, ZWSP], 2, "web",
+                         T0 + dt.timedelta(minutes=1)),
+                        ("b_tok", None, 0, "web",
+                         T0 + dt.timedelta(minutes=1))],
+                os.path.join(src, "f0"), now - 300)
+    p = _run_cli(src, out, ck, "--no-quarantine")
+    assert p.returncode == 0, p.stderr[-4000:]
+    assert "QUARANTINE" not in p.stdout
+    assert not os.path.isdir(os.path.join(out, "quarantine"))
+
+    from hidden_characters_detector_spark.sinks.exactly_once import read_sink
+
+    sink = {r["doc_id"]: r for r in
+            read_sink(spark, os.path.join(out, "cleaned")).collect()}
+    assert set(sink) == {"g0", "b_tok"}
+    assert sink["b_tok"]["tokens_clean"] == []   # null -> empty, cleaned
