@@ -81,23 +81,6 @@ def density_windows(events: DataFrame, *, watermark: str = "10 minutes",
                     "source", "n_detections", "docs_est", "n_hidden"))
 
 
-def sequence_density_windows(cleaned: DataFrame, *,
-                             watermark: str = "10 minutes",
-                             window: str = "1 minute") -> DataFrame:
-    """Density windows computed from branch-A per-sequence counters instead
-    of exploded events — map-side pre-aggregation inside the kernel makes
-    the shuffle ~#markers-per-doc (10-20x) smaller.  Per-family counts come
-    from the kernel's n_hidden/n_ivs/n_typo columns."""
-    return (cleaned.withWatermark("event_time", watermark)
-            .groupBy(F.window("event_time", window), "source")
-            .agg(F.sum("n_detected").alias("n_detections"),
-                 F.approx_count_distinct("doc_id").alias("docs_est"),
-                 F.sum("n_hidden").alias("n_hidden"))
-            .select(F.col("window.start").alias("window_start"),
-                    F.col("window.end").alias("window_end"),
-                    "source", "n_detections", "docs_est", "n_hidden"))
-
-
 def salted_density_windows(events: DataFrame, *,
                            watermark: str = "10 minutes",
                            window: str = "1 minute",

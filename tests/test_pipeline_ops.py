@@ -3,6 +3,8 @@ multimodal plumbing."""
 
 from __future__ import annotations
 
+import datetime as dt
+
 import numpy as np
 import pytest
 
@@ -553,3 +555,30 @@ def test_dedup_ops_do_not_leak_caches(spark, docs):
     assert _cached_rdd_count(spark) == base + 1
     h.unpersist()
     assert _cached_rdd_count(spark) == base
+
+
+def test_split_quarantine_operator(spark):
+    """Batch split contract: good keeps the original schema exactly (no
+    plumbing column), bad keeps every original column verbatim plus the
+    first-matching reason; rule order null_doc_id > null_tokens >
+    null_event_time > n_tok_mismatch."""
+    from hidden_characters_detector_spark.operators.quarantine import (
+        split_quarantine)
+
+    df = spark.createDataFrame(
+        [("ok", [1, 2], 2, "w", dt.datetime(2024, 1, 1)),
+         (None, None, 0, "w", None),              # 3 rules violated
+         ("", [1], 1, "w", dt.datetime(2024, 1, 1)),
+         ("bt", None, 0, "w", dt.datetime(2024, 1, 1)),
+         ("bn", [1, 2, 3], 9, "w", dt.datetime(2024, 1, 1))],
+        "doc_id string, tokens array<int>, n_tok int, source string, "
+        "event_time timestamp")
+    good, bad = split_quarantine(df)
+    assert good.columns == df.columns
+    assert [r["doc_id"] for r in good.collect()] == ["ok"]
+    reasons = {r["doc_id"]: r["quarantine_reason"] for r in bad.collect()}
+    assert reasons == {None: "null_doc_id", "": "null_doc_id",
+                       "bt": "null_tokens", "bn": "n_tok_mismatch"}
+    # bad rows carry the original payload verbatim
+    bn = [r for r in bad.collect() if r["doc_id"] == "bn"][0]
+    assert bn["tokens"] == [1, 2, 3] and bn["n_tok"] == 9

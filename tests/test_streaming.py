@@ -911,3 +911,56 @@ def test_quarantine_compacts_and_reads_back(spark, tmp_path):
     final = sorted(r["doc_id"] for r in
                    pipeline.read_quarantine(spark, out).collect())
     assert final == ["b0", "b1", "b2", "b3"]
+
+
+def test_dict_join_batch_streaming_parity(spark, tmp_path):
+    """The batch interval-join analog (the one the driver's oracle gate
+    exercises) must produce EXACTLY the stream-stream join's rows for the
+    same events and the same dictionary content — the parity that makes
+    the batch contract query meaningful evidence about the stateful
+    operator."""
+    ev_src = str(tmp_path / "ev")
+    dc_src = str(tmp_path / "dict")
+    os.makedirs(ev_src)
+    now = time.time()
+    confusable_dict.write_dict_batches(spark, dc_src, T0, n_batches=3)
+    _write_file(spark, [
+        _row("dj", [QUOTE, ZWSP, A], "web", _mins(12)),
+        _row("early", [QUOTE], "web", T0 - dt.timedelta(minutes=90)),
+        _row("edge", [ZWSP], "web", _mins(64)),   # 59min into ZWSP's v
+    ], os.path.join(ev_src, "f1"), now - 300)
+    _write_file(spark, [_row("push", [A], "web", _mins(50))],
+                os.path.join(ev_src, "f2"), now - 200)
+
+    cols = ["doc_id", "source", "event_time", "token", "marker_type",
+            "replacement", "valid_from"]
+
+    def key(rows):
+        return sorted((r["doc_id"], r["source"], r["event_time"],
+                       r["token"], r["marker_type"],
+                       tuple(r["replacement"]), r["valid_from"])
+                      for r in rows)
+
+    tok_s = pipeline.read_token_stream(spark, ev_src,
+                                       max_files_per_trigger=1)
+    joined_s = pipeline.confusable_dict_join(
+        pipeline.event_stream(tok_s),
+        confusable_dict.read_dict_stream(spark, dc_src), validity="1 hour")
+    q = (joined_s.writeStream.format("memory").queryName("djp")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    stream_rows = key(spark.sql("select * from djp").collect())
+
+    tok_b = spark.read.schema(pipeline.TOKEN_STREAM_SCHEMA).parquet(ev_src)
+    joined_b = pipeline.confusable_dict_join_batch(
+        pipeline.event_stream(tok_b),
+        confusable_dict.static_dict(spark, T0), validity="1 hour")
+    batch_rows = key(joined_b.select(
+        "doc_id", "source", "event_time", "token", "marker_type",
+        F.col("dict_replacement").alias("replacement"),
+        "valid_from").collect())
+
+    assert stream_rows == batch_rows
+    assert len(stream_rows) >= 3        # dj x2 + edge actually matched
