@@ -169,6 +169,26 @@ def bench_dedup(spark, cpus: int):
     return {"dedup_minhash": q_dedup_minhash, "dedup_e2e": q_dedup_e2e}
 
 
+def bench_packing(spark, tok):
+    """Training-sequence shaping over the 600k-row token table: sliding
+    chunk explode (zero-shuffle JVM path) + bucketed sequence packing
+    (one shuffle + per-bucket sort)."""
+    from pyspark.sql import functions as F
+
+    from hidden_characters_detector_spark.operators import packing
+
+    def q_pack_chunk():
+        chunks = packing.chunk_tokens(tok, chunk=128, overlap=32)
+        a = chunks.agg(F.count("*"), F.sum("n_chunk_tokens")).collect()
+        packs = packing.pack_summary(tok.select("doc_id", "n_tok"),
+                                     budget=2048, buckets=64)
+        b = packs.agg(F.count("*"), F.sum("n_tokens"),
+                      F.avg("n_docs")).collect()
+        return a + b
+
+    return {"pack_chunk": q_pack_chunk}
+
+
 def main() -> None:
     spark = build_spark(CPUS)
     try:
@@ -177,6 +197,7 @@ def main() -> None:
         # not the synthetic generator
         qs = bench_queries(spark, tok)
         qs.update(bench_dedup(spark, CPUS))
+        qs.update(bench_packing(spark, tok))
         for _ in range(WARMUP_ROUNDS):  # fault worker heaps, off the clock
             for fn in qs.values():
                 fn()
