@@ -964,3 +964,36 @@ def test_dict_join_batch_streaming_parity(spark, tmp_path):
 
     assert stream_rows == batch_rows
     assert len(stream_rows) >= 3        # dj x2 + edge actually matched
+
+
+def test_quarantine_compaction_with_sparse_batch_ids(spark, tmp_path):
+    """Quarantine batch dirs are SPARSE (clean batches write none): the
+    compaction gap rule must treat a missing dir as 'nothing to fold', not
+    as a gap, and fold the manifested dirs around it."""
+    from hidden_characters_detector_spark.sinks.exactly_once import (
+        compact_sink)
+
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    os.makedirs(src)
+    now = time.time()
+    # batch 0: bad; batch 1: CLEAN (no quarantine dir); batch 2: bad
+    _write_file(spark, [(None, [A], 1, "web", _mins(0))],
+                os.path.join(src, "f0"), now - 300)
+    _write_file(spark, [_row("g1", [A], "web", _mins(1))],
+                os.path.join(src, "f1"), now - 200)
+    _write_file(spark, [("b2", None, 0, "web", _mins(2))],
+                os.path.join(src, "f2"), now - 100)
+    q = pipeline.single_pass_pipeline(spark, src, out,
+                                      str(tmp_path / "ck"),
+                                      max_files_per_trigger=1)
+    q.awaitTermination(180)
+    qdir = os.path.join(out, "quarantine")
+    dirs = sorted(d for d in os.listdir(qdir) if d.startswith("batch_id="))
+    assert dirs == ["batch_id=0", "batch_id=2"]   # sparse by design
+
+    info = compact_sink(spark, qdir, target_rows_per_file=1000)
+    assert info["up_to"] == 2 and info["rows"] == 2
+    got = sorted(((r["doc_id"] or ""), r["quarantine_reason"]) for r in
+                 pipeline.read_quarantine(spark, out).collect())
+    assert got == [("", "null_doc_id"), ("b2", "null_tokens")]
