@@ -43,6 +43,37 @@ def parquet_dir_rows(path: str) -> int:
     return total
 
 
+def write_manifest(out_dir: str, batch_id: int, rows: int) -> None:
+    """Atomically publish the per-batch manifest (the commit marker
+    :func:`compact_sink`'s gate reads).  ONE writer for the format — every
+    sink that wants its batch dirs compactable goes through here."""
+    manifest = os.path.join(out_dir, f"_manifest_batch_{batch_id}.json")
+    tmp = manifest + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"batch_id": batch_id, "rows": rows}, f)
+    os.replace(tmp, manifest)  # atomic, like the reference's commit
+
+
+def backfill_manifests(out_dir: str) -> int:
+    """Write manifests (footer row counts) for batch dirs that predate the
+    manifest contract, so :func:`compact_sink`'s gate stops treating them
+    as in-flight and skipping everything behind them forever.
+
+    ONLY safe when no writer is active (post-drain / maintenance window):
+    an actually-in-flight batch dir would be committed prematurely.
+    Returns the number of manifests written.
+    """
+    n = 0
+    for d in _batch_dirs(out_dir):
+        bid = int(d.split("=", 1)[1])
+        if not os.path.exists(os.path.join(
+                out_dir, f"_manifest_batch_{bid}.json")):
+            write_manifest(out_dir, bid,
+                           parquet_dir_rows(os.path.join(out_dir, d)))
+            n += 1
+    return n
+
+
 def write_batch_partition(batch_df: DataFrame, batch_id: int,
                           out_dir: str) -> int:
     """Write one micro-batch to its idempotent ``batch_id=N`` partition.
@@ -56,11 +87,7 @@ def write_batch_partition(batch_df: DataFrame, batch_id: int,
     path = os.path.join(out_dir, f"batch_id={batch_id}")
     out.write.mode("overwrite").parquet(path)
     n = parquet_dir_rows(path)
-    manifest = os.path.join(out_dir, f"_manifest_batch_{batch_id}.json")
-    tmp = manifest + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump({"batch_id": batch_id, "rows": n}, f)
-    os.replace(tmp, manifest)  # atomic, like the reference's commit
+    write_manifest(out_dir, batch_id, n)
     return n
 
 

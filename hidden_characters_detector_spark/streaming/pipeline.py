@@ -298,7 +298,9 @@ def single_pass_pipeline(spark: SparkSession, input_path: str, out_dir: str,
 
     from ..operators.quarantine import (QUARANTINE_REASON_COL,
                                         with_quarantine_reason)
-    from ..sinks.exactly_once import parquet_dir_rows, write_batch_partition
+    from ..sinks.exactly_once import (parquet_dir_rows,
+                                      write_batch_partition,
+                                      write_manifest)
 
     scheme = urlparse(checkpoint_dir).scheme
     if quarantine and scheme not in ("", "file"):
@@ -370,13 +372,7 @@ def single_pass_pipeline(spark: SparkSession, input_path: str, out_dir: str,
                 # same manifest contract as the main sink, so compact_sink
                 # can fold quarantine batch dirs too (its manifest gate
                 # would otherwise skip every one of them forever)
-                import json as _json
-                manifest = os.path.join(
-                    quar_dir, f"_manifest_batch_{batch_id}.json")
-                tmp = manifest + ".tmp"
-                with open(tmp, "w") as f:
-                    _json.dump({"batch_id": batch_id, "rows": n_bad}, f)
-                os.replace(tmp, manifest)
+                write_manifest(quar_dir, batch_id, n_bad)
         committed = batch_df.sparkSession.read.parquet(
             os.path.join(sink_dir, f"batch_id={batch_id}"))
         dens = (committed

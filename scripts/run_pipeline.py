@@ -234,7 +234,14 @@ def main() -> None:
         print(f"COMPACTED up_to={info['up_to']} rows={info['rows']} "
               f"files={info['files']}")
         qdir = os.path.join(args.output, "quarantine")
-        if args.quarantine and os.path.isdir(qdir):
+        if os.path.isdir(qdir):
+            # compact whenever the dir exists (even under --no-quarantine:
+            # dirs from earlier quarantining runs still accumulate files);
+            # backfill manifests for dirs predating the manifest contract
+            # — safe here because the drain has completed
+            from hidden_characters_detector_spark.sinks.exactly_once import (
+                backfill_manifests)
+            backfill_manifests(qdir)
             qinfo = compact_sink(spark, qdir,
                                  target_rows_per_file=args.compact_target_rows)
             print(f"COMPACTED-QUARANTINE up_to={qinfo['up_to']} "

@@ -997,3 +997,27 @@ def test_quarantine_compaction_with_sparse_batch_ids(spark, tmp_path):
     got = sorted(((r["doc_id"] or ""), r["quarantine_reason"]) for r in
                  pipeline.read_quarantine(spark, out).collect())
     assert got == [("", "null_doc_id"), ("b2", "null_tokens")]
+
+
+def test_backfill_manifests_unblocks_compaction(spark, tmp_path):
+    """Batch dirs that predate the manifest contract block the compaction
+    gate forever (the gap rule reads them as in-flight); the post-drain
+    backfill writes footer-count manifests so they fold in."""
+    from hidden_characters_detector_spark.sinks.exactly_once import (
+        backfill_manifests, compact_sink, write_batch_partition)
+
+    out = str(tmp_path / "out")
+    os.makedirs(out)
+    df = spark.createDataFrame([("d0", 1), ("d1", 2)],
+                               "doc_id string, v int")
+    write_batch_partition(df, 0, out)
+    write_batch_partition(df, 1, out)
+    os.remove(os.path.join(out, "_manifest_batch_0.json"))  # legacy dir
+
+    info = compact_sink(spark, out, target_rows_per_file=1000)
+    assert info["up_to"] == -1 and info["rows"] == 0   # gate blocks
+
+    assert backfill_manifests(out) == 1
+    info2 = compact_sink(spark, out, target_rows_per_file=1000)
+    assert info2["up_to"] == 1 and info2["rows"] == 4
+    assert read_sink(spark, out).count() == 4
