@@ -44,7 +44,15 @@ def build_spark(cpus: int):
 
     return (SparkSession.builder.master(f"local[{cpus}]")
             .appName("hcd-spark-bench")
-            .config("spark.sql.shuffle.partitions", str(2 * cpus))
+            # shuffle partitions capped at 16: post-shuffle intermediates
+            # here are tiny, and on this VM every concurrent reducer task
+            # pays the fault-handler floor — at local[32] with 64 shuffle
+            # partitions the multi-stage queries (dedup_e2e, pack_chunk)
+            # run 2-6x slower than with 16 (measured: pack_chunk 6.1 s ->
+            # 1.0 s, dedup_e2e 10.6-15.8 s -> 6.5-7.5 s); scan-side
+            # parallelism is unaffected (input partitioning drives it)
+            .config("spark.sql.shuffle.partitions",
+                    str(min(2 * cpus, 16)))
             .config("spark.default.parallelism", str(2 * cpus))
             .config("spark.sql.adaptive.enabled", "true")
             .config("spark.sql.session.timeZone", "UTC")
