@@ -1379,10 +1379,10 @@ def q_quarantine(spark, sf_dir):
     """Bad-records quarantine gate (S6/unreadable-input analog, ref
     :604-631): documents mutated in portable SQL into a token-table shape
     with planted flaws — null id, empty id, null tokens, null event_time,
-    n_tok contradicting the array, and one row violating TWO rules (null
-    tokens + null time) so the rule PRECEDENCE (first match wins) is under
-    the hash gate too.  The real operator classifies; output is the
-    per-reason census a pipeline run reports."""
+    null n_tok, n_tok contradicting the array, and one row violating TWO
+    rules (null tokens + null time) so the rule PRECEDENCE (first match
+    wins) is under the hash gate too.  The real operator classifies; output
+    is the per-reason census a pipeline run reports."""
     from hidden_characters_detector_spark.operators import quarantine as qr
     docs = _table(spark, sf_dir, "documents")
     tok_tbl = docs.selectExpr(
@@ -1391,7 +1391,8 @@ def q_quarantine(spark, sf_dir):
         "     ELSE cast(doc_id AS string) END AS doc_id",
         "CASE WHEN doc_id % 13 IN (5, 8) THEN NULL "
         "     ELSE array(1, 2) END AS tokens",
-        "CASE WHEN doc_id % 13 = 6 THEN 99 ELSE 2 END AS n_tok",
+        "CASE WHEN doc_id % 13 = 6 THEN 99 "
+        "     WHEN doc_id % 13 = 9 THEN NULL ELSE 2 END AS n_tok",
         "source",
         "CASE WHEN doc_id % 13 IN (7, 8) THEN NULL "
         "     ELSE timestamp'2024-01-01 00:00:00' END AS event_time")
@@ -1410,7 +1411,8 @@ def _o_quarantine():
                   ELSE CAST(doc_id AS VARCHAR) END AS doc_id2,
              CASE WHEN doc_id % 13 IN (5, 8) THEN NULL
                   ELSE [1, 2] END AS tokens,
-             CASE WHEN doc_id % 13 = 6 THEN 99 ELSE 2 END AS n_tok,
+             CASE WHEN doc_id % 13 = 6 THEN 99
+                  WHEN doc_id % 13 = 9 THEN NULL ELSE 2 END AS n_tok,
              CASE WHEN doc_id % 13 IN (7, 8) THEN NULL
                   ELSE TIMESTAMP '2024-01-01 00:00:00' END AS event_time
       FROM documents),
@@ -1419,6 +1421,7 @@ def _o_quarantine():
       SELECT CASE WHEN doc_id2 IS NULL OR doc_id2 = '' THEN 'null_doc_id'
                   WHEN tokens IS NULL THEN 'null_tokens'
                   WHEN event_time IS NULL THEN 'null_event_time'
+                  WHEN n_tok IS NULL THEN 'null_n_tok'
                   WHEN n_tok <> len(tokens) THEN 'n_tok_mismatch'
                   ELSE 'valid' END AS quarantine_reason
       FROM t)

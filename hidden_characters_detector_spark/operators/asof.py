@@ -35,7 +35,8 @@ _VALID_TO = "_asof_valid_to"
 
 def asof_join_broadcast(left: DataFrame, right: DataFrame, *,
                         on: list[str], left_time: str, right_time: str,
-                        tolerance: str | None = None) -> DataFrame:
+                        tolerance: str | None = None,
+                        tiebreak: str | None = None) -> DataFrame:
     """Inner as-of join (backward direction, pandas ``merge_asof``
     semantics): for each left row the single right row with the greatest
     ``right_time <= left_time`` for the same ``on`` keys.
@@ -47,6 +48,14 @@ def asof_join_broadcast(left: DataFrame, right: DataFrame, *,
     ``left_time - right_time <= tolerance`` — a left row whose nearest
     version is older than the tolerance matches nothing.
 
+    ``(on, right_time)`` must be UNIQUE on the right side: a tie makes the
+    ``lead()`` interval close one of the tied rows with an empty ``[t, t)``
+    validity window, so which version wins is nondeterministic run to run.
+    If the right side can carry ties (e.g. two dict versions in the same
+    second), pass ``tiebreak`` — a right-side column (e.g. a version
+    number) appended to the window order; the HIGHEST tiebreak value wins
+    the instant (its predecessors get empty windows deterministically).
+
     Returns all left columns plus the right side's non-key columns
     (including ``right_time``, which tells the caller WHICH version won).
     """
@@ -55,7 +64,8 @@ def asof_join_broadcast(left: DataFrame, right: DataFrame, *,
         raise ValueError(
             f"column name collision outside the join keys: "
             f"{sorted(overlap)}; rename before joining")
-    w = Window.partitionBy(*on).orderBy(right_time)
+    order = [right_time] if tiebreak is None else [right_time, tiebreak]
+    w = Window.partitionBy(*on).orderBy(*order)
     r2 = right.withColumn(_VALID_TO, F.lead(right_time).over(w))
     lt = F.col(f"l.{left_time}")
     rt = F.col(f"r.{right_time}")

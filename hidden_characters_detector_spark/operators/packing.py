@@ -28,9 +28,24 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def auto_buckets(n_rows: int, *, target_docs_per_bucket: int = 100_000,
+                 min_buckets: int = 1, max_buckets: int = 1 << 20) -> int:
+    """Bucket count sized to the corpus: each bucket is ONE window
+    partition (one task sorting that bucket's doc list), so a fixed bucket
+    count degenerates at scale — 16 buckets over 10^9 docs is 16 tasks
+    sorting ~60M docs each.  ``ceil(n / target)`` keeps per-task sort size
+    ~``target_docs_per_bucket`` at any corpus size (same
+    fixed-parameter-vs-corpus-size fix as ``similarity.auto_nbits``)."""
+    import math
+
+    return max(min_buckets, min(max_buckets,
+                                math.ceil(n_rows / target_docs_per_bucket)))
+
+
 def pack_documents(df: DataFrame, id_col: str = "doc_id",
                    size_col: str = "n_tok", *, budget: int = 2048,
-                   buckets: int = 16) -> DataFrame:
+                   buckets: int | None = None, n_rows: int | None = None,
+                   target_docs_per_bucket: int = 100_000) -> DataFrame:
     """Assign each document to a (bucket, pack_id) training sequence.
 
     Deterministic and partitioning-independent: the bucket is a pure
@@ -39,18 +54,35 @@ def pack_documents(df: DataFrame, id_col: str = "doc_id",
     SQL-portable, but correct and parallel; casting a string id to long
     would yield NULL and silently collapse the whole dataset into ONE
     window partition).  The in-bucket order is the id; the pack is the
-    running-total rule above.  Adds ``bucket``, ``pack_id``, and
-    ``pack_offset`` (the doc's token offset inside its pack's running
-    span).
+    running-total rule above.  ``id_col`` must be UNIQUE (the usual doc-id
+    contract): the running total uses an explicit ROWS frame, so tied ids
+    within a bucket would make pack assignment depend on their arbitrary
+    relative order.  Adds ``bucket``, ``pack_id``, and ``pack_offset``
+    (the doc's token offset inside its pack's running span).
+
+    ``buckets`` defaults to :func:`auto_buckets` over the corpus size so
+    each bucket's doc list stays task-sized as the corpus scales; pass
+    ``n_rows`` when the count is already known (table statistics / Iceberg
+    snapshot summary) to skip the count job, or pin ``buckets`` explicitly
+    for reproducible pack numbering across corpus versions.
     """
     from pyspark.sql.types import NumericType
 
+    if buckets is None:
+        if n_rows is None:
+            n_rows = df.count()
+        buckets = auto_buckets(
+            n_rows, target_docs_per_bucket=target_docs_per_bucket)
     if isinstance(df.schema[id_col].dataType, NumericType):
         b = F.pmod(F.col(id_col).cast("long"), F.lit(buckets))
     else:
         b = F.pmod(F.hash(id_col), F.lit(buckets))
     out = df.withColumn("bucket", b)
-    w = Window.partitionBy("bucket").orderBy(id_col)
+    # explicit ROWS frame: the default RANGE frame would sum ALL peer rows
+    # of a tied id into the "exclusive" cumsum (identical for unique ids,
+    # divergent + nondeterministic for ties)
+    w = (Window.partitionBy("bucket").orderBy(id_col)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     excl = (F.coalesce(F.sum(size_col).over(w), F.lit(0))
             - F.col(size_col)).cast("long")
     return (out
@@ -63,12 +95,13 @@ def pack_documents(df: DataFrame, id_col: str = "doc_id",
 
 def pack_summary(df: DataFrame, id_col: str = "doc_id",
                  size_col: str = "n_tok", *, budget: int = 2048,
-                 buckets: int = 16) -> DataFrame:
+                 buckets: int | None = None,
+                 n_rows: int | None = None) -> DataFrame:
     """Per-pack census: how many docs and tokens each training sequence
     holds (the fill-rate profile that tells you whether the budget/bucket
     choice wastes padding)."""
     packed = pack_documents(df, id_col, size_col, budget=budget,
-                            buckets=buckets)
+                            buckets=buckets, n_rows=n_rows)
     return (packed.groupBy("bucket", "pack_id")
             .agg(F.count("*").cast("long").alias("n_docs"),
                  F.sum(size_col).cast("long").alias("n_tokens"),

@@ -37,7 +37,11 @@ def quarantine_reason(*, id_col: str = "doc_id",
     2. ``null_tokens``   — tokens column null (empty array is a VALID empty
        document; null means the writer lost the payload);
     3. ``null_event_time`` — event-time null (watermarks/windows undefined);
-    4. ``n_tok_mismatch``  — declared length contradicts the array (payload
+    4. ``null_n_tok``      — declared length null (the ``!=`` comparison of
+       rule 5 would evaluate to NULL and silently pass a row whose declared
+       length was lost — the same semantically-null family the gate exists
+       to catch, so it gets an explicit arm);
+    5. ``n_tok_mismatch``  — declared length contradicts the array (payload
        corruption signal).
 
     Pass ``None`` for a column that the table doesn't carry to skip its
@@ -51,6 +55,7 @@ def quarantine_reason(*, id_col: str = "doc_id",
     if time_col is not None:
         c = c.when(F.col(time_col).isNull(), F.lit("null_event_time"))
     if n_tok_col is not None and tokens_col is not None:
+        c = c.when(F.col(n_tok_col).isNull(), F.lit("null_n_tok"))
         c = c.when(F.col(n_tok_col) != F.size(tokens_col),
                    F.lit("n_tok_mismatch"))
     return c

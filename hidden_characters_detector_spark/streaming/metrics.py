@@ -34,11 +34,9 @@ class ProgressRecorder(StreamingQueryListener):
         with self._lock:
             self.progress.append(p)
             if self.jsonl_path:
-                tmp = self.jsonl_path + ".tmp"
                 mode = "a" if os.path.exists(self.jsonl_path) else "w"
                 with open(self.jsonl_path, mode) as f:
                     f.write(json.dumps(p) + "\n")
-                del tmp
 
     def onQueryTerminated(self, event) -> None:  # noqa: N802
         pass

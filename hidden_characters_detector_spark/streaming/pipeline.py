@@ -200,8 +200,8 @@ def scan_stats_stream(cleaned: DataFrame, *,
                     "total_markers_detected", "total_markers_processed"))
 
 
-def _source_wal_files(checkpoint_dir: str, batch_id: int,
-                      source_idx: int = 0) -> list[str]:
+def _source_wal_files(spark: SparkSession, checkpoint_dir: str,
+                      batch_id: int, source_idx: int = 0) -> list[str]:
     """The exact input files of micro-batch ``batch_id``, from the file
     source's checkpoint WAL (``sources/<idx>/<batch_id>``: a version line
     followed by one JSON entry per file).  This is the list Spark commits
@@ -211,31 +211,62 @@ def _source_wal_files(checkpoint_dir: str, batch_id: int,
     Every ``compactInterval``-th batch (default 10) Spark writes
     ``<batch_id>.compact`` instead: a CUMULATIVE log of every file seen so
     far, each entry tagged with its ``batchId`` — so the compact form is
-    read with a batchId filter.  Missing both forms ⇒ a no-data batch ⇒
-    empty list.
+    read with a batchId filter.
+
+    The read goes through the JVM's Hadoop ``FileSystem`` (the checkpoint's
+    own scheme — ``file://``, ``hdfs://``, ``s3a://`` — resolves to the
+    right implementation), so the gate works wherever Spark itself can
+    checkpoint; no driver-local I/O assumption.  A tiny driver-side
+    metadata read, no Spark job.
+
+    Fails LOUDLY when the batch has no WAL entry at all
+    (``FileNotFoundError``): Spark writes the entry before executing every
+    batch — even a no-data one — so a missing file means the log layout is
+    not what this parser expects (format drift, wrong ``source_idx``) and
+    silently returning ``[]`` would drop quarantined rows from BOTH sinks.
+    A present-but-empty entry is a genuine no-data batch ⇒ ``[]``; a
+    malformed entry line raises from the JSON parser for the same reason.
     """
     import json
-    import os
 
-    base = os.path.join(checkpoint_dir, "sources", str(source_idx),
-                        str(batch_id))
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    base = f"{checkpoint_dir.rstrip('/')}/sources/{source_idx}/{batch_id}"
 
-    def entries(path):
+    def read_utf8(path_str: str) -> str:
+        path = jvm.org.apache.hadoop.fs.Path(path_str)
+        fs = path.getFileSystem(hconf)
+        stream = fs.open(path)
+        try:
+            return jvm.org.apache.commons.io.IOUtils.toString(
+                stream, "UTF-8")
+        finally:
+            stream.close()
+
+    def exists(path_str: str) -> bool:
+        path = jvm.org.apache.hadoop.fs.Path(path_str)
+        return path.getFileSystem(hconf).exists(path)
+
+    def entries(text: str) -> list[dict]:
         out = []
-        with open(path) as f:
-            for line in f:
-                line = line.strip()
-                if not line or line.startswith("v"):
-                    continue
-                out.append(json.loads(line))
+        for line in text.splitlines():
+            line = line.strip()
+            if not line or line.startswith("v"):
+                continue
+            out.append(json.loads(line))
         return out
 
-    if os.path.exists(base):
-        return [e["path"] for e in entries(base)]
-    if os.path.exists(base + ".compact"):
-        return [e["path"] for e in entries(base + ".compact")
+    if exists(base):
+        return [e["path"] for e in entries(read_utf8(base))]
+    if exists(base + ".compact"):
+        return [e["path"] for e in entries(read_utf8(base + ".compact"))
                 if e.get("batchId") == batch_id]
-    return []
+    raise FileNotFoundError(
+        f"no source WAL entry for batch {batch_id} at {base}[.compact] — "
+        "Spark commits this file before executing every batch, so its "
+        "absence means the checkpoint log layout is not what the "
+        "quarantine gate expects (Spark log-format drift or a wrong "
+        "source index); refusing to silently drop quarantined rows")
 
 
 def single_pass_pipeline(spark: SparkSession, input_path: str, out_dir: str,
@@ -294,25 +325,12 @@ def single_pass_pipeline(spark: SparkSession, input_path: str, out_dir: str,
     Returns the started StreamingQuery.
     """
     import os
-    from urllib.parse import urlparse
 
     from ..operators.quarantine import (QUARANTINE_REASON_COL,
                                         with_quarantine_reason)
     from ..sinks.exactly_once import (parquet_dir_rows,
                                       write_batch_partition,
                                       write_manifest)
-
-    scheme = urlparse(checkpoint_dir).scheme
-    if quarantine and scheme not in ("", "file"):
-        # the gate reads the source WAL via local I/O; silently skipping it
-        # on hdfs://-style checkpoints would DROP bad rows from both sinks
-        # (the in-stream filter still excludes them from the clean sink) —
-        # fail loudly instead
-        raise ValueError(
-            f"quarantine=True requires a local checkpoint (got scheme "
-            f"'{scheme}'): the gate resolves each batch's input files from "
-            "the source WAL with local file I/O.  Pass quarantine=False, "
-            "or use a local checkpoint path.")
 
     tok = read_token_stream(spark, input_path,
                             max_files_per_trigger=max_files_per_trigger)
@@ -346,7 +364,8 @@ def single_pass_pipeline(spark: SparkSession, input_path: str, out_dir: str,
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         good = batch_df.where(reason.isNull()).drop(QUARANTINE_REASON_COL)
         write_batch_partition(good, batch_id, sink_dir)  # the kernel pass
-        files = (_source_wal_files(checkpoint_dir, batch_id)
+        files = (_source_wal_files(batch_df.sparkSession, checkpoint_dir,
+                                   batch_id)
                  if quarantine else [])
         if files:
             raw = batch_df.sparkSession.read.schema(

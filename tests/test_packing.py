@@ -89,6 +89,26 @@ def test_packing_plan_shapes(spark):
     assert "Generate" in cplan  # the posexplode
 
 
+def test_pack_documents_auto_buckets_bounds_per_task_rows(spark):
+    """Default bucket count self-sizes to the corpus: per-bucket doc count
+    (= per-task sort size) stays ~target at n AND 10n rows — the r4 defect
+    was a fixed default of 16 buckets, i.e. 16 ever-growing sort tasks."""
+    from hidden_characters_detector_spark.operators.packing import (
+        auto_buckets)
+
+    assert auto_buckets(500) == 1
+    assert auto_buckets(10**9) == 10**4          # 100k docs per task
+    assert auto_buckets(10**12) == 1 << 20       # clamped
+
+    target = 250
+    for n in (1_000, 10_000):
+        docs = spark.range(0, n).selectExpr("id AS doc_id", "10 AS n_tok")
+        out = packing.pack_documents(docs, target_docs_per_bucket=target)
+        per = out.groupBy("bucket").count().collect()
+        assert len(per) == auto_buckets(n, target_docs_per_bucket=target)
+        assert max(r["count"] for r in per) <= 2 * target
+
+
 def test_pack_summary_conserves_tokens(spark):
     docs = spark.range(0, 300).selectExpr(
         "id AS doc_id", "(id % 53) * 77 + 10 AS n_tok")

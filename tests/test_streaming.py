@@ -966,6 +966,36 @@ def test_dict_join_batch_streaming_parity(spark, tmp_path):
     assert len(stream_rows) >= 3        # dj x2 + edge actually matched
 
 
+def test_quarantine_gate_with_file_scheme_checkpoint(spark, tmp_path):
+    """The WAL read goes through the Hadoop FileSystem API (the
+    checkpoint's own scheme resolves the implementation), so the gate works
+    under a scheme-qualified checkpoint URI — r4 restricted it to bare
+    local paths and raised on any scheme."""
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    os.makedirs(src)
+    now = time.time()
+    _write_file(spark, [_row("g0", [A, ZWSP, A], "web", _mins(0)),
+                        ("b_tok", None, 0, "web", _mins(0))],
+                os.path.join(src, "f1"), now - 300)
+    ck = "file://" + str(tmp_path / "ck")
+    q = pipeline.single_pass_pipeline(spark, src, out, ck)
+    q.awaitTermination(120)
+    quar = {r["doc_id"]: r["quarantine_reason"]
+            for r in pipeline.read_quarantine(spark, out).collect()}
+    assert quar == {"b_tok": "null_tokens"}
+    sink = read_sink(spark, os.path.join(out, "cleaned"))
+    assert {r["doc_id"] for r in sink.collect()} == {"g0"}
+
+
+def test_source_wal_missing_entry_raises(spark, tmp_path):
+    """A batch with NO WAL entry is a parse/layout failure, not an empty
+    batch: silently returning [] would drop quarantined rows from both
+    sinks (ADVICE r4), so the resolver must refuse."""
+    with pytest.raises(FileNotFoundError, match="WAL"):
+        pipeline._source_wal_files(spark, str(tmp_path / "no-such-ck"), 0)
+
+
 def test_quarantine_compaction_with_sparse_batch_ids(spark, tmp_path):
     """Quarantine batch dirs are SPARSE (clean batches write none): the
     compaction gap rule must treat a missing dir as 'nothing to fold', not
