@@ -1504,7 +1504,67 @@ def _o_chunk_tokens():
     FROM c"""
 
 
+# shared line-dedup fixture: documents made multiline with PLANTED
+# cross-document boilerplate — a header shared by each doc_id%4 class and a
+# footer shared by every doc — plus body lines from the corpus text (some
+# of which repeat naturally across template-reuse docs; the oracle counts
+# the same normalized lines, so both engines agree on all of them)
+_LINE_DEDUP_TEXT_SPARK = (
+    "concat('template header v', doc_id % 4, char(10), "
+    "replace(text, ' the ', char(10)), char(10), "
+    "'auto-generated corpus footer')")
+_LINE_DEDUP_TEXT_DUCK = (
+    "'template header v' || (doc_id % 4) || chr(10) || "
+    "replace(text, ' the ', chr(10)) || chr(10) || "
+    "'auto-generated corpus footer'")
+
+
+def q_line_dedup(spark, sf_dir):
+    """Cross-document line dedup (the C4/RefinedWeb boilerplate-removal
+    step, ``operators.line_dedup.dedup_lines``): lines repeated across ≥5
+    distinct docs are dropped and each doc's text rebuilt from the
+    survivors.  The engine counts 64-bit hashes of normalized lines (only
+    the hash rides the counting shuffle; membership probe is a broadcast
+    join — plan-asserted in ``tests/test_line_dedup.py``); the oracle
+    counts the normalized line strings themselves — equivalent absent
+    hash collisions, which the fixture cannot produce."""
+    from hidden_characters_detector_spark.operators import line_dedup
+    docs = _table(spark, sf_dir, "documents").selectExpr(
+        "cast(doc_id as string) AS doc_id",
+        f"{_LINE_DEDUP_TEXT_SPARK} AS text")
+    return line_dedup.dedup_lines(docs, min_docs=5)
+
+
+def _o_line_dedup():
+    return f"""
+    WITH m AS (
+      SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+             {_LINE_DEDUP_TEXT_DUCK} AS text
+      FROM documents),
+    l AS (
+      SELECT doc_id, ls[CAST(i AS INTEGER)] AS line, CAST(i AS BIGINT) AS ln
+      FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM m),
+           unnest(range(1, len(ls) + 1)) AS t(i)),
+    e AS (SELECT doc_id, ln, line, trim(line) AS norm FROM l),
+    freq AS (
+      SELECT norm FROM e WHERE length(norm) >= 1
+      GROUP BY norm HAVING count(DISTINCT doc_id) >= 5),
+    f AS (
+      SELECT e.doc_id, e.ln, e.line, (freq.norm IS NOT NULL) AS dropped
+      FROM e LEFT JOIN freq ON e.norm = freq.norm)
+    SELECT doc_id,
+           COALESCE(string_agg(CASE WHEN NOT dropped THEN line END,
+                               chr(10) ORDER BY ln), '') AS text_dedup,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CASE WHEN dropped THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_lines_kept,
+           CAST(sum(CASE WHEN dropped THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_lines_dropped
+    FROM f GROUP BY doc_id"""
+
+
 _EXTRA_QUERIES = {
+    "line_dedup": q_line_dedup,
     "pack_sequences": q_pack_sequences,
     "chunk_tokens": q_chunk_tokens,
     "quarantine": q_quarantine,
@@ -1531,6 +1591,7 @@ _EXTRA_QUERIES = {
 }
 
 _EXTRA_ORACLES = {
+    "line_dedup": _o_line_dedup,
     "pack_sequences": _o_pack_sequences,
     "chunk_tokens": _o_chunk_tokens,
     "quarantine": _o_quarantine,
