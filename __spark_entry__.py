@@ -1563,8 +1563,47 @@ def _o_line_dedup():
     FROM f GROUP BY doc_id"""
 
 
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination audit (``operators.decontam``): the eval
+    set is derived deterministically from held-out documents (doc_id % 7
+    == 0, first 10 chars dropped — so eval items are verbatim substrings
+    of real corpus text), and every training doc sharing any char-20-gram
+    with it is reported with its distinct-shared-shingle count.  The
+    oracle replicates the rolling shingle hash itself (same Horner/2^64
+    arithmetic as the minhash oracle) and the distinct-count join, so
+    n_hits is value-checked, not just row-counted.  Plan: broadcast
+    semi-join, no cartesian (``tests/test_decontam.py``)."""
+    from hidden_characters_detector_spark.operators import decontam
+    docs = _table(spark, sf_dir, "documents")
+    train = docs.where("doc_id % 7 <> 0").selectExpr(
+        "cast(doc_id as string) AS doc_id", "text")
+    evl = docs.where("doc_id % 7 = 0").selectExpr(
+        "cast(doc_id as string) AS doc_id", "substr(text, 11) AS text")
+    return decontam.contamination_report(train, evl, k=20)
+
+
+def _o_decontaminate(k: int = 20):
+    h = _o_shingle_hash_expr(k)
+    return f"""
+    WITH train AS (
+      SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents
+      WHERE doc_id % 7 <> 0),
+    ev AS (SELECT substr(text, 11) AS text FROM documents
+           WHERE doc_id % 7 = 0),
+    th AS (
+      SELECT DISTINCT doc_id, {h} AS h
+      FROM train, unnest(range(1, length(text) - {k - 2})) AS t(i)),
+    eh AS (
+      SELECT DISTINCT {h} AS h
+      FROM ev, unnest(range(1, length(text) - {k - 2})) AS t(i))
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
+    FROM th WHERE h IN (SELECT h FROM eh)
+    GROUP BY doc_id"""
+
+
 _EXTRA_QUERIES = {
     "line_dedup": q_line_dedup,
+    "decontaminate": q_decontaminate,
     "pack_sequences": q_pack_sequences,
     "chunk_tokens": q_chunk_tokens,
     "quarantine": q_quarantine,
@@ -1592,6 +1631,7 @@ _EXTRA_QUERIES = {
 
 _EXTRA_ORACLES = {
     "line_dedup": _o_line_dedup,
+    "decontaminate": _o_decontaminate,
     "pack_sequences": _o_pack_sequences,
     "chunk_tokens": _o_chunk_tokens,
     "quarantine": _o_quarantine,

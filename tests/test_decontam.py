@@ -1,0 +1,78 @@
+"""Benchmark-decontamination semantics and plan shapes."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from hidden_characters_detector_spark.operators import decontam
+
+# a 30-char phrase planted in both train and eval (>= one full 20-gram)
+PHRASE = "the quick brown fox jumps over"
+
+
+def _rand_text(seed, n=120):
+    rng = np.random.default_rng(seed)
+    return "".join(chr(ord("a") + int(x)) for x in rng.integers(0, 26, n))
+
+
+def _fixtures(spark):
+    train = spark.createDataFrame(
+        [("t0", f"intro {PHRASE} outro " + _rand_text(0)),   # contaminated
+         ("t1", _rand_text(1)),                              # clean
+         ("t2", _rand_text(2) + PHRASE),                     # contaminated
+         ("t3", "short")],                                   # < k, no signal
+        "doc_id string, text string")
+    evl = spark.createDataFrame(
+        [("e0", f"Q: {PHRASE}? A: yes"),
+         ("e1", _rand_text(99))],
+        "doc_id string, text string")
+    return train, evl
+
+
+def test_contamination_report_flags_shared_kgrams(spark):
+    train, evl = _fixtures(spark)
+    got = {r["doc_id"]: r["n_hits"] for r in
+           decontam.contamination_report(train, evl, k=20).collect()}
+    assert set(got) == {"t0", "t2"}         # clean/short docs emit no row
+    # the planted 30-char phrase shares its 11 internal 20-grams; t0 also
+    # shares the boundary gram (phrase preceded by a space on BOTH sides)
+    assert got["t0"] == 12
+    assert got["t2"] == 11
+
+
+def test_decontaminate_drops_contaminated_keeps_schema(spark):
+    train, evl = _fixtures(spark)
+    out = decontam.decontaminate(train, evl, k=20)
+    assert out.columns == train.columns
+    assert {r["doc_id"] for r in out.collect()} == {"t1", "t3"}
+
+
+def test_min_hits_threshold(spark):
+    train, evl = _fixtures(spark)
+    out = decontam.decontaminate(train, evl, k=20, min_hits=12)
+    # t2's 11 shared 20-grams < 12: it survives; t0's 12 do not
+    assert {r["doc_id"] for r in out.collect()} == {"t1", "t2", "t3"}
+
+
+def test_doc_shingle_hashes_distinct_per_doc(spark):
+    df = spark.createDataFrame(
+        [("a", "xyxyxyxyxyxyxyxyxyxyxyxyxy")],   # repeating 2-period text
+        "doc_id string, text string")
+    rows = decontam.doc_shingle_hashes(df, k=20).collect()
+    # 7 window starts but only 2 distinct shingles ("xyxy..." / "yxyx...")
+    assert len(rows) == 2
+    assert len({r["shingle_hash"] for r in rows}) == 2
+
+
+def test_decontaminate_plan_broadcast_semi_no_cartesian(spark):
+    train, evl = _fixtures(spark)
+    plan = (decontam.contamination_report(train, evl, k=20)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+    # the hit count partial-aggregates before its exchange, and no
+    # exchange carries the text column
+    assert "partial_count" in plan
+    for ln in plan.splitlines():
+        if "Exchange hashpartitioning" in ln:
+            assert "text#" not in ln, ln
