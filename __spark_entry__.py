@@ -988,6 +988,34 @@ def _o_stratified_sample():
     SELECT doc_id, source FROM documents WHERE {u} < ({case})"""
 
 
+def q_epoch_shuffle(spark, sf_dir):
+    """Deterministic epoch shuffle (training-order generation,
+    ``operators.sampling.epoch_shuffle``): the permutation key is a pure
+    function of (doc_id, epoch) — identical on any partitioning or
+    cluster size — and each epoch yields an independent order.  The gate
+    value-checks the EXACT key (rescaled to its 32-bit integer, so no
+    float-rounding ambiguity crosses engines) plus the derived shard
+    assignment; row order itself is invisible to the order-insensitive
+    compare, but the key column IS the order."""
+    from hidden_characters_detector_spark.operators import sampling
+    docs = _table(spark, sf_dir, "documents").select("doc_id")
+    out = sampling.epoch_shuffle(docs, epoch=3, n_shards=8)
+    return out.select(
+        "doc_id",
+        F.floor(F.col("shuffle_key") * F.lit(4294967296.0))
+        .cast("long").alias("key_u32"),
+        "shard")
+
+
+def _o_epoch_shuffle():
+    u = _o_hash_unit("CAST(doc_id AS VARCHAR)", "epoch3")
+    return f"""
+    SELECT doc_id,
+           CAST(floor({u} * 4294967296.0) AS BIGINT) AS key_u32,
+           CAST(floor({u} * 8) AS BIGINT) AS shard
+    FROM documents"""
+
+
 def q_dedup_groups(spark, sf_dir):
     """End-to-end near-dup GROUPING (the step after pair generation):
     LSH → exact-Jaccard verify → connected components (iterative min-label
@@ -1625,6 +1653,7 @@ _EXTRA_QUERIES = {
     "dedup_groups": q_dedup_groups,
     "fingerprints": q_fingerprints,
     "train_test_split": q_train_test_split,
+    "epoch_shuffle": q_epoch_shuffle,
     "stratified_sample": q_stratified_sample,
     "length_stats": q_length_stats,
 }
@@ -1653,6 +1682,7 @@ _EXTRA_ORACLES = {
     "fingerprints": _o_fingerprints,
     "multimodal_features": _o_multimodal_features,
     "train_test_split": _o_train_test_split,
+    "epoch_shuffle": _o_epoch_shuffle,
     "stratified_sample": _o_stratified_sample,
     "length_stats": _o_length_stats,
 }

@@ -177,6 +177,41 @@ def bench_dedup(spark, cpus: int):
     return {"dedup_minhash": q_dedup_minhash, "dedup_e2e": q_dedup_e2e}
 
 
+def bench_curation(spark, cpus: int):
+    """Curation sweep additions: cross-document line dedup (C4 boilerplate
+    removal) and benchmark decontamination over a replicated multiline
+    corpus — replicas share planted header/footer lines (real dropping
+    work) and the eval set is substrings of base docs (real k-gram hits)."""
+    from pyspark.sql import functions as F
+
+    from hidden_characters_detector_spark.operators import (decontam,
+                                                            line_dedup)
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet") \
+        .select("doc_id", "text")
+    reps = spark.range(0, 30, 1, numPartitions=2 * cpus)
+    corpus = (reps.crossJoin(F.broadcast(docs))
+              .selectExpr(
+                  "concat(doc_id, '_', id) AS doc_id",
+                  "concat('shared header v', doc_id % 4, char(10), "
+                  "replace(text, ' the ', char(10)), char(10), "
+                  "'shared corpus footer') AS text")
+              .localCheckpoint())
+    evl = docs.where("doc_id % 7 = 0") \
+        .selectExpr("doc_id", "substr(text, 11) AS text")
+
+    def q_line_dedup():
+        out = line_dedup.dedup_lines(corpus, min_docs=50)
+        return out.agg(F.count("*"), F.sum("n_lines_dropped"),
+                       F.sum("n_lines_kept")).collect()
+
+    def q_decontam():
+        out = decontam.contamination_report(corpus, evl, k=20)
+        return out.agg(F.count("*"), F.sum("n_hits")).collect()
+
+    return {"line_dedup": q_line_dedup, "decontam": q_decontam}
+
+
 def bench_packing(spark, tok):
     """Training-sequence shaping over the 600k-row token table: sliding
     chunk explode (zero-shuffle JVM path) + bucketed sequence packing
@@ -206,6 +241,7 @@ def main() -> None:
         qs = bench_queries(spark, tok)
         qs.update(bench_dedup(spark, CPUS))
         qs.update(bench_packing(spark, tok))
+        qs.update(bench_curation(spark, CPUS))
         for _ in range(WARMUP_ROUNDS):  # fault worker heaps, off the clock
             for fn in qs.values():
                 fn()
@@ -223,6 +259,14 @@ def main() -> None:
                 best = min(best, time.perf_counter() - t0)
             timings[name] = round(best, 3)
         total = round(sum(timings.values()), 3)
+        # headline throughput over the FIXED four token-table queries only:
+        # r4's nrows*len(all queries)/total silently redefined the metric
+        # every time a query was added (a new 6 s dedup query read as a
+        # phantom 21% regression) — pinning the query set keeps
+        # BENCH_r{N}.json comparable across rounds
+        token_qs = ("clean_full", "events_by_type", "density_windows",
+                    "clean_roundtrip")
+        token_total = sum(timings[q] for q in token_qs)
         out = {
             "metric": "headline engine queries wall time (clean + events + "
                       "windowed density) on synthetic token table",
@@ -232,8 +276,9 @@ def main() -> None:
             "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
             "rows": nrows,
             "cpus": CPUS,
-            "seq_per_sec": round(nrows * len(timings) / total)
-            if total else None,
+            "seq_per_sec": round(nrows * len(token_qs) / token_total)
+            if token_total else None,
+            "seq_per_sec_queries": list(token_qs),
         }
         print(json.dumps(out))
     finally:

@@ -39,6 +39,39 @@ def train_test_split(df: DataFrame, id_col: str = "doc_id", *,
         .otherwise(F.lit("test")))
 
 
+def epoch_shuffle(df: DataFrame, epoch: int, id_col: str = "doc_id", *,
+                  n_shards: int | None = None,
+                  salt: str = "epoch") -> DataFrame:
+    """Deterministic training-order generation: a fresh, reproducible
+    global permutation of the corpus for each ``epoch``.
+
+    The sort key is ``hash_unit(id, salt+epoch)`` — a pure zero-state
+    function of the row id, so the permutation is identical on any
+    cluster size, any partitioning, and any re-run (unlike
+    ``df.orderBy(rand(seed))``, whose ``rand`` is partition-indexed and
+    moves rows when the input partitioning changes).  Each epoch's salt
+    yields an independent permutation.
+
+    Adds ``shuffle_key`` (the [0,1) sort key) and, when ``n_shards`` is
+    given, ``shard = floor(shuffle_key * n_shards)`` — because the key is
+    uniform, shards are balanced in expectation, and writing the output
+    partitioned by ``shard`` with files sorted by key IS the epoch's read
+    order.  Returns the frame globally ordered by ``(shuffle_key, id)``:
+    one range-partitioned sort — Spark samples the key distribution and
+    sorts each range locally, the same plan shape as any terabyte ORDER
+    BY write.  Consumers that only need shard assignment (not a total
+    order) can drop the ``orderBy`` cost by calling :func:`hash_unit`
+    directly — the projection itself is shuffle-free codegen.
+    """
+    u = hash_unit(id_col, f"{salt}{epoch}")
+    out = df.withColumn("shuffle_key", u)
+    if n_shards is not None:
+        out = out.withColumn(
+            "shard",
+            F.floor(F.col("shuffle_key") * F.lit(n_shards)).cast("long"))
+    return out.orderBy("shuffle_key", id_col)
+
+
 def stratified_sample(df: DataFrame, fractions: dict[str, float], *,
                       strata_col: str = "source", id_col: str = "doc_id",
                       default_frac: float = 0.0,

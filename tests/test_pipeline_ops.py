@@ -460,6 +460,31 @@ def test_sampling_deterministic_and_partition_independent(spark):
     assert by_src.get("src1") == n_src1
 
 
+def test_epoch_shuffle_deterministic_independent_permutations(spark):
+    """Epoch shuffle: reproducible global order per epoch, independent
+    orders across epochs, partitioning-independent, balanced shards."""
+    from hidden_characters_detector_spark.operators import sampling
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet") \
+        .select("doc_id")
+    e1 = [r["doc_id"] for r in
+          sampling.epoch_shuffle(docs, epoch=1).collect()]
+    e1b = [r["doc_id"] for r in
+           sampling.epoch_shuffle(docs.repartition(7), epoch=1).collect()]
+    e2 = [r["doc_id"] for r in
+          sampling.epoch_shuffle(docs, epoch=2).collect()]
+    assert e1 == e1b                       # reproducible + partition-free
+    assert sorted(e1) == sorted(e2)        # same corpus...
+    assert e1 != e2                        # ...different order per epoch
+    # shards balanced in expectation and derived from the key
+    sharded = sampling.epoch_shuffle(docs, epoch=1, n_shards=4)
+    per = {r["shard"]: r["cnt"] for r in sharded.groupBy("shard")
+           .agg(F.count("*").alias("cnt")).collect()}
+    assert set(per) == {0, 1, 2, 3}
+    n = len(e1)
+    assert all(0.1 * n < c < 0.5 * n for c in per.values())
+
+
 def test_top_ngrams_tiny_docs(spark):
     """Docs shorter than n words must not error under ANSI element_at."""
     rows = [("a", "one"), ("b", ""), ("c", "two words"),
