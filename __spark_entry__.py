@@ -1629,9 +1629,90 @@ def _o_decontaminate(k: int = 20):
     GROUP BY doc_id"""
 
 
+def q_repetition(spark, sf_dir):
+    """Gopher-style repetition quality signals
+    (``operators.text_analysis.repetition_scores``) over the multiline
+    fixture: per-doc duplicate-line fraction, duplicate-line-char
+    fraction, and the char share of the most repeated word bigram
+    (count×len spec), plus the composite is_repetitive flag.  Line metrics
+    are zero-shuffle JVM HOFs; the bigram mode is relational (partial-
+    agged (doc, gram) count, narrow join back) — the oracle replicates
+    the same arithmetic on lists."""
+    from hidden_characters_detector_spark.operators import text_analysis
+    # every third doc repeats its header line, so dup_line_frac /
+    # dup_line_char_frac are non-vacuous at corpus level too
+    docs = _table(spark, sf_dir, "documents").selectExpr(
+        "cast(doc_id as string) AS doc_id",
+        f"concat({_LINE_DEDUP_TEXT_SPARK}, "
+        "CASE WHEN doc_id % 3 = 0 THEN concat(char(10), "
+        "'template header v', doc_id % 4) ELSE '' END) AS text")
+    return text_analysis.repetition_scores(docs)
+
+
+def _o_repetition():
+    return f"""
+    WITH m AS (
+      SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+             {_LINE_DEDUP_TEXT_DUCK} ||
+             CASE WHEN doc_id % 3 = 0
+                  THEN chr(10) || 'template header v' || (doc_id % 4)
+                  ELSE '' END AS text
+      FROM documents),
+    base AS (
+      SELECT doc_id, length(text) AS n_chars,
+             list_transform(string_split(text, chr(10)), x -> trim(x))
+                 AS lsn,
+             lower(text) AS lt
+      FROM m),
+    lm AS (
+      SELECT doc_id, n_chars, len(lsn) AS n_lines,
+             len(list_distinct(lsn)) AS n_dist,
+             COALESCE(list_sum(list_transform(lsn, x -> length(x))), 0)
+                 AS sum_all,
+             COALESCE(list_sum(list_transform(list_distinct(lsn),
+                                              x -> length(x))), 0)
+                 AS sum_dist,
+             lt
+      FROM base),
+    words AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lt, '[^a-z0-9]+'),
+                         x -> x <> '') AS ws
+      FROM base),
+    grams AS (
+      SELECT doc_id,
+             ws[CAST(i AS INTEGER)] || ' ' || ws[CAST(i + 1 AS INTEGER)]
+                 AS gram
+      FROM words, unnest(range(1, len(ws))) AS t(i)
+      WHERE len(ws) >= 2),
+    gc AS (SELECT doc_id, gram, count(*) AS cnt FROM grams
+           GROUP BY doc_id, gram),
+    topg AS (SELECT doc_id, max(cnt * length(gram)) AS top_cover
+             FROM gc GROUP BY doc_id),
+    j AS (
+      SELECT lm.doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+             CAST(n_lines AS BIGINT) AS n_lines,
+             round((n_lines - n_dist) / CAST(n_lines AS DOUBLE), 6)
+                 AS dup_line_frac,
+             CASE WHEN sum_all > 0
+                  THEN round((sum_all - sum_dist)
+                             / CAST(sum_all AS DOUBLE), 6)
+                  ELSE 0.0 END AS dup_line_char_frac,
+             CASE WHEN n_chars > 0
+                  THEN round(COALESCE(top_cover, 0)
+                             / CAST(n_chars AS DOUBLE), 6)
+                  ELSE 0.0 END AS top_bigram_char_frac
+      FROM lm LEFT JOIN topg ON lm.doc_id = topg.doc_id)
+    SELECT *,
+           (dup_line_frac > 0.30 OR dup_line_char_frac > 0.20
+            OR top_bigram_char_frac > 0.20) AS is_repetitive
+    FROM j"""
+
+
 _EXTRA_QUERIES = {
     "line_dedup": q_line_dedup,
     "decontaminate": q_decontaminate,
+    "repetition": q_repetition,
     "pack_sequences": q_pack_sequences,
     "chunk_tokens": q_chunk_tokens,
     "quarantine": q_quarantine,
@@ -1661,6 +1742,7 @@ _EXTRA_QUERIES = {
 _EXTRA_ORACLES = {
     "line_dedup": _o_line_dedup,
     "decontaminate": _o_decontaminate,
+    "repetition": _o_repetition,
     "pack_sequences": _o_pack_sequences,
     "chunk_tokens": _o_chunk_tokens,
     "quarantine": _o_quarantine,

@@ -167,6 +167,87 @@ def length_quantiles(df: DataFrame, text_col: str = "text",
           for p in probs])
 
 
+def repetition_scores(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", *,
+                      max_dup_line_frac: float = 0.30,
+                      max_dup_line_char_frac: float = 0.20,
+                      max_top_bigram_char_frac: float = 0.20) -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021, table A1
+    — the "repetitious documents are low quality" filter family), one row
+    per doc:
+
+    * ``dup_line_frac`` — fraction of lines that are repeats of another
+      line in the same document (lines compared after ``trim``);
+    * ``dup_line_char_frac`` — fraction of (normalized) line characters
+      belonging to repeat instances beyond each line's first occurrence;
+    * ``top_bigram_char_frac`` — ``max(count × len(gram)) / n_chars`` over
+      the doc's lowercase word bigrams: the character share the single
+      most repeated bigram would cover (this engine's deterministic spec
+      of Gopher's "fraction of characters contained within the most
+      frequently-occurring 2-gram"; overlapping occurrences are each
+      counted, so pathological docs — "spam spam spam ..." — can exceed
+      1.0, which only strengthens the over-threshold signal);
+    * ``is_repetitive`` — any fraction above its threshold.
+
+    Scale shape: the line metrics are pure per-row JVM higher-order
+    functions (no shuffle).  The bigram mode is computed RELATIONALLY —
+    explode → partial-agged count per (doc, gram) → per-doc max — because
+    a per-row HOF mode would be O(words²) per document, quadratic on big
+    docs; the relational plan costs one (doc, gram) shuffle with map-side
+    combine and a narrow per-doc join back (the joined frame carries only
+    ids + metrics, never the text).
+    """
+    c = F.col(text_col)
+    lsn = F.transform(F.split(c, "\n"), lambda x: F.trim(x))
+    dist = F.array_distinct(lsn)
+    n_lines = F.size(lsn)
+    n_dist = F.size(dist)
+
+    def char_sum(arr):
+        return F.aggregate(F.transform(arr, F.length),
+                           F.lit(0).cast("long"), lambda a, x: a + x)
+
+    sum_all = char_sum(lsn)
+    sum_dist = char_sum(dist)
+    base = df.select(
+        id_col,
+        F.length(c).cast("long").alias("n_chars"),
+        n_lines.cast("long").alias("n_lines"),
+        F.round((n_lines - n_dist) / n_lines.cast("double"), 6)
+        .alias("dup_line_frac"),
+        F.when(sum_all > 0,
+               F.round((sum_all - sum_dist) / sum_all.cast("double"), 6))
+        .otherwise(0.0).alias("dup_line_char_frac"))
+
+    words = F.filter(F.split(F.lower(c), r"[^a-z0-9]+"),
+                     lambda w: w != "")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(words) - 2),
+        lambda i: F.concat_ws(
+            " ", F.element_at(words, (i + 1).cast("int")),
+            F.element_at(words, (i + 2).cast("int"))))
+    top = (df.select(id_col,
+                     F.explode(F.when(F.size(words) >= 2, grams)
+                               .otherwise(F.array())).alias("gram"))
+           .groupBy(id_col, "gram").agg(F.count("*").alias("cnt"))
+           .groupBy(id_col)
+           .agg(F.max(F.col("cnt") * F.length("gram"))
+                .alias("_top_cover")))
+    out = base.join(top, id_col, "left")
+    top_frac = F.when(
+        F.col("n_chars") > 0,
+        F.round(F.coalesce(F.col("_top_cover"), F.lit(0)).cast("double")
+                / F.col("n_chars"), 6)).otherwise(0.0)
+    return (out.withColumn("top_bigram_char_frac", top_frac)
+            .drop("_top_cover")
+            .withColumn(
+                "is_repetitive",
+                (F.col("dup_line_frac") > max_dup_line_frac)
+                | (F.col("dup_line_char_frac") > max_dup_line_char_frac)
+                | (F.col("top_bigram_char_frac")
+                   > max_top_bigram_char_frac)))
+
+
 def fingerprints(df: DataFrame, text_col: str = "text",
                  id_col: str = "doc_id", *, window: int = 32) -> DataFrame:
     """Stable 64-bit-ish content fingerprints:

@@ -460,6 +460,39 @@ def test_sampling_deterministic_and_partition_independent(spark):
     assert by_src.get("src1") == n_src1
 
 
+def test_repetition_scores_planted(spark):
+    """Gopher repetition signals on hand-computable fixtures."""
+    from hidden_characters_detector_spark.operators import text_analysis
+
+    rows = [
+        ("r0", "alpha beta\nalpha beta\nalpha beta\ngamma"),
+        ("r1", "one two three four"),
+        ("r2", "word"),          # single word: no bigrams
+        ("r3", ""),              # empty doc: all-zero signals
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    got = {r["doc_id"]: r for r in
+           text_analysis.repetition_scores(df).collect()}
+    r0 = got["r0"]
+    assert r0["n_lines"] == 4
+    assert r0["dup_line_frac"] == 0.5                 # 2 repeats of 4
+    assert r0["dup_line_char_frac"] == round(20 / 35, 6)
+    # "alpha beta" x3, len 10 -> 30 covered chars of 38
+    assert r0["top_bigram_char_frac"] == round(30 / 38, 6)
+    assert r0["is_repetitive"]
+    r1 = got["r1"]
+    assert r1["dup_line_frac"] == 0.0
+    assert r1["dup_line_char_frac"] == 0.0
+    assert r1["top_bigram_char_frac"] == round(10 / 18, 6)  # "three four"
+    r2 = got["r2"]
+    assert r2["top_bigram_char_frac"] == 0.0
+    assert not r2["is_repetitive"]
+    r3 = got["r3"]
+    assert (r3["dup_line_frac"], r3["dup_line_char_frac"],
+            r3["top_bigram_char_frac"]) == (0.0, 0.0, 0.0)
+    assert not r3["is_repetitive"]
+
+
 def test_epoch_shuffle_deterministic_independent_permutations(spark):
     """Epoch shuffle: reproducible global order per epoch, independent
     orders across epochs, partitioning-independent, balanced shards."""
