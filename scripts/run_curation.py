@@ -1,0 +1,168 @@
+#!/usr/bin/env python3
+"""spark-submit entry point for the BATCH curation pipeline: the LLM
+training-data sweep composed from the engine's operators, end to end.
+
+Usage (cluster):
+
+    zip -r hcd_spark.zip hidden_characters_detector_spark
+    spark-submit --py-files hcd_spark.zip scripts/run_curation.py \
+        --input /path/to/documents_parquet --output /path/to/curated \
+        [--eval /path/to/eval_parquet] [--epoch 1 --shards 64]
+
+Stages, in curation order (each independently switchable):
+
+ 1. watermark clean        — the fused Arrow kernel (hidden/typographic/
+                             IVS markers removed; the engine's core op)
+ 2. quality + language     — heuristic score >= --quality-min, language
+                             in --lang (skip with --quality-min 0)
+ 3. repetition filter      — Gopher repetition signals, drop is_repetitive
+ 4. line dedup             — cross-document boilerplate removal (C4)
+ 5. exact dedup            — min-id keeper per content hash
+ 6. decontamination        — drop docs sharing char k-grams with --eval
+ 7. split / epoch shuffle  — deterministic train/test tag + per-epoch
+                             permutation, written partitioned by shard
+
+Every stage is the operator the test suite and driver contract gate —
+this script only composes them.  Prints one JSON line of per-stage
+surviving-document counts (computed from cheap count() jobs on the lazy
+chain; each stage's plan subsumes the previous, so Spark re-runs the
+narrow upstream rather than caching the corpus — at cluster scale pass
+--no-stage-counts to skip all but the final count).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", str(1 << 30))
+os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", str(256 << 20))
+os.environ.setdefault("ARROW_DEFAULT_MEMORY_POOL", "system")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True,
+                    help="documents parquet (doc_id, text, ...)")
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--eval", default=None, metavar="DIR",
+                    help="eval-benchmark parquet (doc_id, text); enables "
+                         "decontamination")
+    ap.add_argument("--master", default=None)
+    ap.add_argument("--quality-min", type=float, default=0.9,
+                    help="minimum heuristic quality score (0 disables the "
+                         "quality/language stage)")
+    ap.add_argument("--lang", action="append", default=[],
+                    help="accepted language codes (repeatable; default en)")
+    ap.add_argument("--repetition-filter", default=True,
+                    action=argparse.BooleanOptionalAction)
+    ap.add_argument("--line-dedup", default=True,
+                    action=argparse.BooleanOptionalAction)
+    ap.add_argument("--line-min-docs", type=int, default=5)
+    ap.add_argument("--exact-dedup", default=True,
+                    action=argparse.BooleanOptionalAction)
+    ap.add_argument("--decontam-k", type=int, default=20)
+    ap.add_argument("--decontam-min-hits", type=int, default=1)
+    ap.add_argument("--train-frac", type=float, default=None,
+                    help="add a deterministic train/test split column")
+    ap.add_argument("--epoch", type=int, default=None,
+                    help="write in epoch-shuffled order")
+    ap.add_argument("--shards", type=int, default=None,
+                    help="with --epoch: partition output by shard")
+    ap.add_argument("--stage-counts", default=True,
+                    action=argparse.BooleanOptionalAction,
+                    help="report per-stage surviving doc counts (extra "
+                         "count jobs; disable for one-pass runs)")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    b = (SparkSession.builder.appName("hcd-spark-curation")
+         .config("spark.sql.session.timeZone", "UTC")
+         .config("spark.python.worker.reuse", "true")
+         .config("spark.sql.adaptive.enabled", "true")
+         .config("spark.sql.shuffle.partitions",
+                 os.environ.get("SPARK_GRAFT_SHUFFLE", "64")))
+    if args.master:
+        b = b.master(args.master)
+    spark = b.getOrCreate()
+
+    from hidden_characters_detector_spark.operators import (
+        decontam, dedup, line_dedup, sampling, text_analysis)
+    from hidden_characters_detector_spark.operators.clean import (
+        clean_documents)
+
+    counts: dict[str, int] = {}
+
+    def note(stage: str, df):
+        if args.stage_counts:
+            counts[stage] = df.count()
+        return df
+
+    docs = spark.read.parquet(args.input)
+    id_col = "doc_id"
+    note("input", docs)
+
+    # 1. watermark clean: every downstream signal runs on pristine text
+    cur = clean_documents(docs.select(id_col, "text"), keep=[id_col]) \
+        .select(id_col, F.col("text_clean").alias("text"))
+    # 2. quality + language
+    if args.quality_min > 0:
+        langs = args.lang or ["en"]
+        scored = text_analysis.language_id(
+            text_analysis.quality_scores(cur))
+        cur = (scored
+               .where((F.col("quality_score") >= args.quality_min)
+                      & F.col("lang_pred").isin(langs))
+               .select(id_col, "text"))
+        note("quality_lang", cur)
+    # 3. repetition filter
+    if args.repetition_filter:
+        rep = text_analysis.repetition_scores(cur).where(
+            ~F.col("is_repetitive")).select(id_col)
+        cur = cur.join(rep, id_col, "left_semi")
+        note("repetition", cur)
+    # 4. cross-document line dedup (rebuilds text)
+    if args.line_dedup:
+        cur = (line_dedup.dedup_lines(cur, min_docs=args.line_min_docs)
+               .select(id_col, F.col("text_dedup").alias("text")))
+        note("line_dedup", cur)
+    # 5. exact dedup (after line dedup: boilerplate removal creates dups)
+    if args.exact_dedup:
+        keep = dedup.exact_dedup(cur).select(id_col)
+        cur = cur.join(keep, id_col, "left_semi")
+        note("exact_dedup", cur)
+    # 6. decontamination
+    if args.eval:
+        evl = spark.read.parquet(args.eval).select(id_col, "text")
+        cur = decontam.decontaminate(cur, evl, k=args.decontam_k,
+                                     min_hits=args.decontam_min_hits)
+        note("decontaminate", cur)
+    # 7. split / epoch order / write
+    if args.train_frac is not None:
+        cur = sampling.train_test_split(cur, train_frac=args.train_frac)
+    writer_df = cur
+    partition_cols: list[str] = []
+    if args.epoch is not None:
+        writer_df = sampling.epoch_shuffle(cur, args.epoch,
+                                           n_shards=args.shards)
+        if args.shards:
+            partition_cols = ["shard"]
+    w = writer_df.write.mode("overwrite")
+    if partition_cols:
+        w = w.partitionBy(*partition_cols)
+    w.parquet(args.output)
+
+    final = spark.read.parquet(args.output).count()
+    counts["written"] = final
+    print("CURATION " + json.dumps(counts))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

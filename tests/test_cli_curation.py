@@ -1,0 +1,79 @@
+"""End-to-end CLI test for the batch curation pipeline
+(``scripts/run_curation.py``): watermark clean → quality/lang →
+repetition → line dedup → exact dedup → decontamination → split +
+epoch-sharded write, composed from the gated operators and runnable via
+spark-submit."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+FOOTER = "copyright footer shared by every document in this corpus"
+
+
+def _body1(i):
+    # every >=20-char window contains the doc digit, so decontamination
+    # k-grams can only match the one doc the eval text came from
+    return (f"the fox{i} and the owl{i} of the wood{i} is to fly{i} "
+            f"in the dark{i} for the prey{i}")
+
+
+def _body2(i):
+    return (f"a big cat{i} sat on the mat{i} and the dog{i} ran to "
+            f"the van{i} in the sun{i} by the bay{i}")
+
+
+def _doc(i):
+    return "\n".join([_body1(i), _body2(i), FOOTER])
+
+
+def test_cli_curation_end_to_end(spark, tmp_path):
+    src = str(tmp_path / "docs")
+    evl = str(tmp_path / "eval")
+    out = str(tmp_path / "curated")
+    rows = [(i, _doc(i)) for i in range(7)]
+    # doc 0 carries a hidden watermark the clean stage must strip
+    rows[0] = (0, rows[0][1].replace("fox0", "f​ox0"))
+    rows.append((7, _doc(6)))               # exact duplicate of doc 6
+    spark.createDataFrame(rows, "doc_id long, text string") \
+        .write.parquet(src)
+    # eval set: doc 5's first line verbatim (a real leaked benchmark item)
+    spark.createDataFrame([(100, _body1(5))], "doc_id long, text string") \
+        .write.parquet(evl)
+
+    env = dict(os.environ, SPARK_GRAFT_SHUFFLE="2")
+    res = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "run_curation.py"),
+         "--input", src, "--output", out, "--eval", evl,
+         "--master", "local[2]", "--train-frac", "0.8",
+         "--epoch", "1", "--shards", "2"],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=600)
+    assert res.returncode == 0, res.stderr[-4000:]
+    line = [ln for ln in res.stdout.splitlines()
+            if ln.startswith("CURATION ")][0]
+    counts = json.loads(line[len("CURATION "):])
+    assert counts["input"] == 8
+    assert counts["quality_lang"] == 8       # all docs pass the heuristics
+    assert counts["repetition"] == 8
+    assert counts["line_dedup"] == 8         # rebuild keeps every doc row
+    assert counts["exact_dedup"] == 7        # the doc-6 clone dropped
+    assert counts["decontaminate"] == 6      # leaked doc 5 dropped
+    assert counts["written"] == 6
+
+    got = spark.read.parquet(out)
+    by_id = {r["doc_id"]: r for r in got.collect()}
+    assert set(by_id) == {0, 1, 2, 3, 4, 6}
+    for r in by_id.values():
+        assert "​" not in r["text"]     # watermark stripped
+        assert FOOTER not in r["text"]       # boilerplate line removed
+        assert r["split"] in ("train", "test")
+        assert r["shard"] in (0, 1)
+    # epoch order is deterministic: shuffle_key is a pure id function
+    assert by_id[3]["shuffle_key"] is not None
+    # partitioned layout on disk
+    assert any(d.startswith("shard=") for d in os.listdir(out))
