@@ -312,6 +312,57 @@ def _o_token_stats():
     FROM {osql.marked_docs_sql(DUCKDB)} m"""
 
 
+def q_token_histogram(spark, sf_dir):
+    """Corpus unigram census over the tokenized marked docs
+    (``text_analysis.token_histogram`` — explode → partial-agged count;
+    the wordcount shape with a vocab-bounded shuffle).  Every codepoint's
+    exact occurrence count is under the hash gate, including the planted
+    hidden/typographic markers."""
+    from hidden_characters_detector_spark.operators import text_analysis
+    toks = tokenize(_marked(spark, sf_dir).select("doc_id", "marked"),
+                    text_col="marked")
+    return text_analysis.token_histogram(toks).select(
+        F.col("token").cast("long").alias("token"), "n_occurrences")
+
+
+def _o_token_histogram():
+    return f"""
+    WITH t AS (
+      SELECT unicode(substr(marked, CAST(i AS INTEGER), 1)) AS token
+      FROM {osql.marked_docs_sql(DUCKDB)} m,
+           unnest(range(1, length(marked) + 1)) AS u(i))
+    SELECT CAST(token AS BIGINT) AS token,
+           CAST(count(*) AS BIGINT) AS n_occurrences
+    FROM t GROUP BY token"""
+
+
+def q_vocab_stats(spark, sf_dir):
+    """One-row corpus vocabulary profile (``text_analysis.vocab_stats``):
+    total tokens, vocab size, modal-token count, unigram entropy in bits —
+    the same bounded-shuffle histogram plus a scalar final aggregate; the
+    oracle recomputes the identical entropy formula."""
+    from hidden_characters_detector_spark.operators import text_analysis
+    toks = tokenize(_marked(spark, sf_dir).select("doc_id", "marked"),
+                    text_col="marked")
+    return text_analysis.vocab_stats(toks)
+
+
+def _o_vocab_stats():
+    return f"""
+    WITH t AS (
+      SELECT unicode(substr(marked, CAST(i AS INTEGER), 1)) AS token
+      FROM {osql.marked_docs_sql(DUCKDB)} m,
+           unnest(range(1, length(marked) + 1)) AS u(i)),
+    h AS (SELECT token, count(*) AS c FROM t GROUP BY token)
+    SELECT CAST(sum(c) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS vocab_size,
+           CAST(max(c) AS BIGINT) AS top_token_count,
+           round(log2(CAST(sum(c) AS DOUBLE))
+                 - sum(c * log2(CAST(c AS DOUBLE)))
+                   / CAST(sum(c) AS DOUBLE), 6) AS unigram_entropy_bits
+    FROM h"""
+
+
 # --- relational coverage (joins / aggs / windows / sort-limit) --------------
 def q_pricing_summary(spark, sf_dir):
     """TPC-H Q1-style hash aggregate with decimal-exact sums."""
@@ -1713,6 +1764,8 @@ _EXTRA_QUERIES = {
     "line_dedup": q_line_dedup,
     "decontaminate": q_decontaminate,
     "repetition": q_repetition,
+    "token_histogram": q_token_histogram,
+    "vocab_stats": q_vocab_stats,
     "pack_sequences": q_pack_sequences,
     "chunk_tokens": q_chunk_tokens,
     "quarantine": q_quarantine,
@@ -1743,6 +1796,8 @@ _EXTRA_ORACLES = {
     "line_dedup": _o_line_dedup,
     "decontaminate": _o_decontaminate,
     "repetition": _o_repetition,
+    "token_histogram": _o_token_histogram,
+    "vocab_stats": _o_vocab_stats,
     "pack_sequences": _o_pack_sequences,
     "chunk_tokens": _o_chunk_tokens,
     "quarantine": _o_quarantine,

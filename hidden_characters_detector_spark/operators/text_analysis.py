@@ -167,6 +167,35 @@ def length_quantiles(df: DataFrame, text_col: str = "text",
           for p in probs])
 
 
+def token_histogram(df: DataFrame, tokens_col: str = "tokens") -> DataFrame:
+    """Corpus unigram census over the token table: one row per distinct
+    token value with its occurrence count — the classic wordcount shape.
+    The explode is a Generate (no shuffle) feeding a partial
+    HashAggregate, so the single shuffle carries at most (per-partition
+    vocab × partitions) rows, not the corpus — bounded however large the
+    corpus grows (codepoint vocab ≤ 0x110000; BPE vocabs are smaller)."""
+    return (df.select(F.explode(tokens_col).alias("token"))
+            .groupBy("token")
+            .agg(F.count("*").cast("long").alias("n_occurrences")))
+
+
+def vocab_stats(df: DataFrame, tokens_col: str = "tokens") -> DataFrame:
+    """One-row corpus vocabulary profile: total tokens, vocab size, the
+    modal token's count, and unigram entropy in bits
+    (``log2(N) - Σ c·log2(c) / N`` — the compression-floor / diversity
+    number a tokenizer or mixing change shifts).  Same bounded-shuffle
+    plan as :func:`token_histogram` plus a scalar final aggregate."""
+    hist = token_histogram(df, tokens_col)
+    c = F.col("n_occurrences")
+    n = F.sum(c)
+    return hist.agg(
+        n.cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("vocab_size"),
+        F.max(c).cast("long").alias("top_token_count"),
+        F.round(F.log2(n) - F.sum(c * F.log2(c)) / n, 6)
+        .alias("unigram_entropy_bits"))
+
+
 def repetition_scores(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", *,
                       max_dup_line_frac: float = 0.30,

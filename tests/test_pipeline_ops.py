@@ -460,6 +460,32 @@ def test_sampling_deterministic_and_partition_independent(spark):
     assert by_src.get("src1") == n_src1
 
 
+def test_vocab_stats_hand_computed(spark):
+    """Histogram + entropy vs hand arithmetic, and the scale contract:
+    the explode feeds a partial aggregate BEFORE the single token
+    shuffle (wordcount shape, shuffle bounded by vocab not corpus)."""
+    import math
+
+    from hidden_characters_detector_spark.operators import text_analysis
+
+    df = spark.createDataFrame(
+        [("a", [1, 1, 2]), ("b", [1, 3]), ("c", [])],
+        "doc_id string, tokens array<int>")
+    hist = {r["token"]: r["n_occurrences"] for r in
+            text_analysis.token_histogram(df).collect()}
+    assert hist == {1: 3, 2: 1, 3: 1}
+    row = text_analysis.vocab_stats(df).collect()[0]
+    assert (row["n_tokens"], row["vocab_size"],
+            row["top_token_count"]) == (5, 3, 3)
+    expect = math.log2(5) - (3 * math.log2(3)) / 5
+    assert row["unigram_entropy_bits"] == round(expect, 6)
+
+    plan = (text_analysis.token_histogram(df)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "partial_count" in plan
+    assert plan.count("Exchange hashpartitioning(token") == 1
+
+
 def test_repetition_scores_planted(spark):
     """Gopher repetition signals on hand-computable fixtures."""
     from hidden_characters_detector_spark.operators import text_analysis
