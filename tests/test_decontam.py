@@ -64,6 +64,19 @@ def test_doc_shingle_hashes_distinct_per_doc(spark):
     assert len({r["shingle_hash"] for r in rows}) == 2
 
 
+def test_contamination_report_shuffle_path_matches_broadcast(spark):
+    """broadcast_eval=False (the huge-eval escape hatch) must produce the
+    identical report through the shuffle semi-join plan."""
+    train, evl = _fixtures(spark)
+    a = sorted(map(tuple,
+                   decontam.contamination_report(train, evl, k=20)
+                   .collect()))
+    b = sorted(map(tuple,
+                   decontam.contamination_report(
+                       train, evl, k=20, broadcast_eval=False).collect()))
+    assert a == b
+
+
 def test_decontaminate_plan_broadcast_semi_no_cartesian(spark):
     train, evl = _fixtures(spark)
     plan = (decontam.contamination_report(train, evl, k=20)

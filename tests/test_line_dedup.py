@@ -80,6 +80,16 @@ def test_dedup_lines_partitioning_independent(spark):
     assert a == b
 
 
+def test_dedup_lines_shuffle_join_path_matches_broadcast(spark):
+    """broadcast_frequent=False (the huge-frequent-set escape hatch) must
+    produce identical output through the shuffle-join plan."""
+    docs = _corpus(spark)
+    a = sorted(map(tuple, line_dedup.dedup_lines(docs).collect()))
+    b = sorted(map(tuple, line_dedup.dedup_lines(
+        docs, broadcast_frequent=False).collect()))
+    assert a == b
+
+
 def test_line_dedup_plan_shapes(spark):
     """Scale contract: (1) the frequency count gets map-side partial
     aggregation before its exchange; (2) no exchange in the counting
