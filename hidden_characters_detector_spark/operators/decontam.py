@@ -36,7 +36,19 @@ import pyarrow as pa
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import _flat_shingle_hashes, _unique_per_doc
+from .dedup import _flat_shingle_hashes, _rolling_hashes, _unique_per_doc
+
+
+def _list_flat(col: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """pa list<int> column -> (flat uint64 values, int64 row offsets);
+    NULL rows behave as empty (no shingles, no signal)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    lens = col.value_lengths().to_numpy(zero_copy_only=False)
+    lens = np.nan_to_num(lens.astype("float64"), nan=0.0).astype(np.int64)
+    offsets = np.concatenate([[0], np.cumsum(lens, dtype=np.int64)])
+    flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.uint64)
+    return flat, offsets
 
 
 def doc_shingle_hashes(df: DataFrame, text_col: str = "text",
@@ -66,6 +78,90 @@ def doc_shingle_hashes(df: DataFrame, text_col: str = "text",
                 names=[id_col, "shingle_hash"])
 
     return slim.mapInArrow(run, ddl)
+
+
+def token_shingle_hashes(df: DataFrame, tokens_col: str = "tokens",
+                         id_col: str = "doc_id", *,
+                         k: int = 20) -> DataFrame:
+    """:func:`doc_shingle_hashes` over the TOKEN table: the ``tokens``
+    arrays are codepoints (input_hint), so the hashes are identical to the
+    text path's for equal content — a corpus ingested as text and an eval
+    set stored pre-tokenized decontaminate against each other exactly."""
+    slim = df.select(id_col, tokens_col)
+    id_type = slim.schema[id_col].dataType.simpleString()
+    ddl = f"{id_col} {id_type}, shingle_hash bigint"
+
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            flat, off = _list_flat(batch.column(tokens_col))
+            h, hoff = _rolling_hashes(flat, off, k)
+            uh, uoff = _unique_per_doc(h, hoff)
+            lens = np.diff(uoff)
+            idx = np.repeat(np.arange(lens.shape[0], dtype=np.int64), lens)
+            ids = batch.column(id_col).take(pa.array(idx, type=pa.int64()))
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.array(uh.astype(np.int64), type=pa.int64())],
+                names=[id_col, "shingle_hash"])
+
+    return slim.mapInArrow(run, ddl)
+
+
+def build_eval_filter(spark, eval_df: DataFrame, *,
+                      tokens_col: str = "tokens", id_col: str = "doc_id",
+                      k: int = 20):
+    """Materialize the eval set's DISTINCT token-shingle hashes as a
+    SORTED numpy array and broadcast it to the executors.
+
+    This is the one place the engine pulls data to the driver — by
+    design: a broadcast variable IS driver-materialized, and the eval
+    side is benchmark-sized (millions of shingles at most → tens of MB).
+    The returned broadcast feeds :func:`mark_contaminated`, which is
+    STATELESS — usable inside a streaming query, where a join against a
+    static DataFrame would re-plan per micro-batch and a stream-stream
+    join would need watermarks the static eval set doesn't have.
+    """
+    rows = (token_shingle_hashes(eval_df, tokens_col, id_col, k=k)
+            .select("shingle_hash").distinct().toPandas())
+    hashes = np.sort(rows["shingle_hash"].to_numpy(dtype=np.int64))
+    return spark.sparkContext.broadcast(hashes)
+
+
+def mark_contaminated(df: DataFrame, eval_hashes, *,
+                      tokens_col: str = "tokens",
+                      k: int = 20) -> DataFrame:
+    """Append ``contaminated: boolean`` — True iff the row's token array
+    shares any ``k``-gram hash with the broadcast eval set
+    (:func:`build_eval_filter`).  Pure stateless ``mapInArrow`` (one
+    rolling-hash pass + a vectorized sorted-membership probe per batch),
+    so it drops into batch AND streaming plans unchanged — the streaming
+    ingestion guard that keeps leaked benchmark items out of the clean
+    sink at the door."""
+    names = [f.name for f in df.schema.fields]
+    ddl = ", ".join([f"{f.name} {f.dataType.simpleString()}"
+                     for f in df.schema.fields] + ["contaminated boolean"])
+
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        ev = eval_hashes.value
+        for batch in batches:
+            flat, off = _list_flat(batch.column(tokens_col))
+            h, hoff = _rolling_hashes(flat, off, k)
+            hits = np.zeros(h.shape[0], dtype=bool)
+            if h.size and ev.size:
+                idx = np.searchsorted(ev, h.astype(np.int64))
+                idx = np.minimum(idx, ev.size - 1)
+                hits = ev[idx] == h.astype(np.int64)
+            lens = np.diff(hoff)
+            nrows = lens.shape[0]
+            flags = np.zeros(nrows, dtype=bool)
+            if hits.any():
+                row = np.repeat(np.arange(nrows, dtype=np.int64), lens)
+                np.logical_or.at(flags, row[hits], True)
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(c) for c in names]
+                + [pa.array(flags, type=pa.bool_())],
+                names=names + ["contaminated"])
+
+    return df.mapInArrow(run, ddl)
 
 
 def contamination_report(train: DataFrame, eval_df: DataFrame, *,

@@ -77,7 +77,16 @@ def _flat_shingle_hashes(texts: pa.Array, k: int
     that would cross a document boundary are simply not gathered.
     """
     flat, offsets = strings_to_flat_tokens(texts)
-    cps = flat.astype(np.uint64)
+    return _rolling_hashes(flat.astype(np.uint64), offsets, k)
+
+
+def _rolling_hashes(cps: np.ndarray, offsets: np.ndarray, k: int
+                    ) -> tuple[np.ndarray, np.ndarray]:
+    """Core of :func:`_flat_shingle_hashes` over an already-flat uint64
+    value array + row offsets — shared by the text path (codepoints from
+    strings) and the token-table path (the ``tokens`` arrays ARE the
+    codepoints, so both paths produce identical hashes for equal
+    content)."""
     n = cps.size
     lens = np.diff(offsets)
     out_lens = np.maximum(lens - k + 1, 0)

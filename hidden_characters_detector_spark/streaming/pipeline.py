@@ -276,6 +276,7 @@ def single_pass_pipeline(spark: SparkSession, input_path: str, out_dir: str,
                          max_files_per_trigger: int | None = None,
                          trigger_available_now: bool = True,
                          quarantine: bool = True,
+                         decontam_eval=None, decontam_k: int = 20,
                          query_name: str = "hcd-pipeline"):
     """The full reference dataflow as ONE streaming query, cleaning each
     micro-batch exactly once.
@@ -334,6 +335,19 @@ def single_pass_pipeline(spark: SparkSession, input_path: str, out_dir: str,
 
     tok = read_token_stream(spark, input_path,
                             max_files_per_trigger=max_files_per_trigger)
+    if decontam_eval is not None:
+        # streaming ingestion decontamination: the broadcast eval-shingle
+        # gate (operators.decontam.mark_contaminated) is a STATELESS
+        # mapInArrow, so it drops into the stream unchanged; contaminated
+        # rows never reach the kernel or any sink, and the count surfaces
+        # as an observed metric per batch
+        from ..operators.decontam import mark_contaminated
+        marked = mark_contaminated(tok, decontam_eval, k=decontam_k)
+        marked = marked.observe(
+            "decontam_metrics",
+            F.sum(F.col("contaminated").cast("long"))
+            .alias("n_contaminated"))
+        tok = marked.where(~F.col("contaminated")).drop("contaminated")
     reason = F.col(QUARANTINE_REASON_COL)
     # bad rows flow through the kernel untouched: the Arrow kernel treats a
     # NULL token list as empty (operators.clean._flat_tokens), so no

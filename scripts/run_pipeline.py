@@ -85,6 +85,12 @@ def main() -> None:
                          "<output>/quarantine instead of cleaning them "
                          "(default on; --no-quarantine skips the gate and "
                          "its per-batch raw re-scan)")
+    ap.add_argument("--decontam-eval", default=None, metavar="DIR",
+                    help="token-table parquet (doc_id, tokens) of an eval "
+                         "benchmark: rows sharing any token k-gram with it "
+                         "are dropped at ingestion (stateless broadcast "
+                         "gate, n_contaminated observed metric)")
+    ap.add_argument("--decontam-k", type=int, default=20)
     ap.add_argument("--dict-stream", default=None, metavar="DIR",
                     help="directory of confusable-dictionary update files "
                          "(parquet, schema sources.confusable_dict."
@@ -153,6 +159,13 @@ def main() -> None:
                          trigger_available_now=args.available_now,
                          query_name="cleaned-sink")
     else:
+        decontam_bc = None
+        if args.decontam_eval:
+            from hidden_characters_detector_spark.operators.decontam import (
+                build_eval_filter)
+            decontam_bc = build_eval_filter(
+                spark, spark.read.parquet(args.decontam_eval),
+                k=args.decontam_k)
         q = pipeline.single_pass_pipeline(
             spark, args.input, args.output,
             os.path.join(args.checkpoint, "sink"), cfg=cfg,
@@ -160,6 +173,7 @@ def main() -> None:
             max_files_per_trigger=args.max_files_per_trigger,
             trigger_available_now=args.available_now,
             quarantine=args.quarantine,
+            decontam_eval=decontam_bc, decontam_k=args.decontam_k,
             query_name="cleaned-sink")
 
     # optional CEP branches: each is an independent streaming query over

@@ -182,6 +182,37 @@ def test_cli_dict_stream_join(spark, tmp_path):
     assert qrow["replacement"] == [ord("'")]
 
 
+def test_cli_decontam_gate(spark, tmp_path):
+    """--decontam-eval drops token-k-gram-leaked rows at ingestion from
+    the CLI itself (the broadcast gate built from an eval parquet)."""
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    evl = str(tmp_path / "eval")
+    os.makedirs(src)
+    now = time.time()
+
+    def mins(m):
+        return T0 + dt.timedelta(minutes=m)
+
+    clean_toks = [ord(c) for c in "abcdefghijklmnopqrstuvwxyz012345"]
+    leak_toks = [ord(c) for c in "THE LEAKED BENCHMARK QUESTION TEXT 99"]
+    _write_file(spark, [("g0", clean_toks, len(clean_toks), "web", mins(0)),
+                        ("leak", leak_toks, len(leak_toks), "web", mins(1))],
+                os.path.join(src, "f0"), now - 300)
+    spark.createDataFrame([("e0", leak_toks[3:27])],
+                          "doc_id string, tokens array<int>") \
+        .write.parquet(evl)
+
+    p = _run_cli(src, out, ck, "--decontam-eval", evl)
+    assert p.returncode == 0, p.stderr[-4000:]
+
+    from hidden_characters_detector_spark.sinks.exactly_once import read_sink
+
+    sink = read_sink(spark, os.path.join(out, "cleaned"))
+    assert sorted(r["doc_id"] for r in sink.collect()) == ["g0"]
+
+
 def test_cli_no_quarantine_passes_bad_rows_through(spark, tmp_path):
     """--no-quarantine disables the gate: semantically null rows flow
     through the kernel (null tokens treated as empty) into the clean sink

@@ -77,6 +77,33 @@ def test_contamination_report_shuffle_path_matches_broadcast(spark):
     assert a == b
 
 
+def test_token_path_matches_text_path(spark):
+    """The token-table shingle path (and the broadcast streaming gate
+    built on it) must flag exactly the docs the text-path report flags —
+    tokens ARE codepoints, so the hashes coincide for equal content."""
+    from hidden_characters_detector_spark.operators.text_ops import tokenize
+
+    train, evl = _fixtures(spark)
+    bc = decontam.build_eval_filter(spark, tokenize(evl), k=20)
+    flagged = decontam.mark_contaminated(tokenize(train), bc, k=20)
+    got = {r["doc_id"] for r in flagged.collect() if r["contaminated"]}
+    expect = {r["doc_id"] for r in
+              decontam.contamination_report(train, evl, k=20).collect()}
+    assert got == expect == {"t0", "t2"}
+    # and per-doc hit counts coincide between the two relational paths
+    a = sorted(map(tuple, decontam.contamination_report(
+        train, evl, k=20).collect()))
+    th = decontam.token_shingle_hashes(tokenize(train), k=20)
+    eh = decontam.token_shingle_hashes(tokenize(evl), k=20) \
+        .select("shingle_hash").distinct()
+    from pyspark.sql import functions as F
+    b = sorted(map(tuple, th.join(eh, "shingle_hash", "left_semi")
+                   .groupBy("doc_id")
+                   .agg(F.count("*").cast("long").alias("n_hits"))
+                   .collect()))
+    assert a == b
+
+
 def test_decontaminate_plan_broadcast_semi_no_cartesian(spark):
     train, evl = _fixtures(spark)
     plan = (decontam.contamination_report(train, evl, k=20)

@@ -988,6 +988,45 @@ def test_quarantine_gate_with_file_scheme_checkpoint(spark, tmp_path):
     assert {r["doc_id"] for r in sink.collect()} == {"g0"}
 
 
+def test_single_pass_pipeline_decontam_gate(spark, tmp_path):
+    """Streaming ingestion decontamination: rows sharing a token 20-gram
+    with the broadcast eval set never reach the kernel or the clean sink,
+    and the drop count surfaces as an observed metric."""
+    from hidden_characters_detector_spark.operators.decontam import (
+        build_eval_filter)
+
+    clean_toks = [ord(c) for c in "abcdefghijklmnopqrstuvwxyz012345"]
+    leak_toks = [ord(c) for c in "THE LEAKED BENCHMARK QUESTION TEXT 99"]
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    os.makedirs(src)
+    now = time.time()
+    _write_file(spark, [_row("g0", clean_toks, "web", _mins(0)),
+                        _row("leak", leak_toks, "web", _mins(1))],
+                os.path.join(src, "f1"), now - 300)
+    evl = spark.createDataFrame([("e0", leak_toks[3:27])],
+                                "doc_id string, tokens array<int>")
+    bc = build_eval_filter(spark, evl, k=20)
+
+    rec = ProgressRecorder()
+    spark.streams.addListener(rec)
+    try:
+        q = pipeline.single_pass_pipeline(spark, src, out,
+                                          str(tmp_path / "ck"),
+                                          decontam_eval=bc)
+        q.awaitTermination(120)
+    finally:
+        spark.streams.removeListener(rec)
+
+    sink = read_sink(spark, os.path.join(out, "cleaned"))
+    assert {r["doc_id"] for r in sink.collect()} == {"g0"}
+    deadline = time.time() + 30
+    while (rec.observed("decontam_metrics", "n_contaminated") < 1
+           and time.time() < deadline):
+        time.sleep(0.5)
+    assert rec.observed("decontam_metrics", "n_contaminated") == 1
+
+
 def test_source_wal_missing_entry_raises(spark, tmp_path):
     """A batch with NO WAL entry is a parse/layout failure, not an empty
     batch: silently returning [] would drop quarantined rows from both
