@@ -36,39 +36,32 @@ import pyarrow as pa
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .clean import _flat_tokens
 from .dedup import _flat_shingle_hashes, _rolling_hashes, _unique_per_doc
 
 
 def _list_flat(col: pa.Array) -> tuple[np.ndarray, np.ndarray]:
     """pa list<int> column -> (flat uint64 values, int64 row offsets);
-    NULL rows behave as empty (no shingles, no signal)."""
-    if isinstance(col, pa.ChunkedArray):
-        col = col.combine_chunks()
-    lens = col.value_lengths().to_numpy(zero_copy_only=False)
-    lens = np.nan_to_num(lens.astype("float64"), nan=0.0).astype(np.int64)
-    offsets = np.concatenate([[0], np.cumsum(lens, dtype=np.int64)])
-    flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.uint64)
-    return flat, offsets
+    NULL rows behave as empty (no shingles, no signal).  Thin cast over
+    the shared slice-/null-safe flattener (``clean._flat_tokens``)."""
+    values, offsets = _flat_tokens(col)
+    return values.astype(np.uint64), offsets
 
 
-def doc_shingle_hashes(df: DataFrame, text_col: str = "text",
-                       id_col: str = "doc_id", *, k: int = 20) -> DataFrame:
-    """One row per (doc, DISTINCT char-``k``-gram rolling hash).
-
-    The whole fan-out happens inside the Arrow kernel: flat rolling hash
-    over the batch, segment-wise distinct, then a gather of the ids — the
-    emitted relation is already deduplicated per document, so downstream
-    joins need no ``dropDuplicates`` shuffle.  Docs shorter than ``k``
-    emit nothing (no signal).  Hashes are the uint64 rolling values
-    reinterpreted as int64 — an internal join key, never a contract value.
-    """
-    slim = df.select(id_col, text_col)
+def _shingle_rows(df: DataFrame, col: str, id_col: str, extract
+                  ) -> DataFrame:
+    """Shared kernel shape for both shingle-row producers: per batch,
+    ``extract`` yields (flat hashes uint64, row offsets); the kernel then
+    dedups per doc segment-wise and gathers ids — the emitted relation is
+    already distinct per document, so downstream joins need no
+    ``dropDuplicates`` shuffle."""
+    slim = df.select(id_col, col)
     id_type = slim.schema[id_col].dataType.simpleString()
     ddl = f"{id_col} {id_type}, shingle_hash bigint"
 
     def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
-            h, off = _flat_shingle_hashes(batch.column(text_col), k)
+            h, off = extract(batch.column(col))
             uh, uoff = _unique_per_doc(h, off)
             lens = np.diff(uoff)
             idx = np.repeat(np.arange(lens.shape[0], dtype=np.int64), lens)
@@ -80,6 +73,19 @@ def doc_shingle_hashes(df: DataFrame, text_col: str = "text",
     return slim.mapInArrow(run, ddl)
 
 
+def doc_shingle_hashes(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", *, k: int = 20) -> DataFrame:
+    """One row per (doc, DISTINCT char-``k``-gram rolling hash).
+
+    The whole fan-out happens inside the Arrow kernel (see
+    :func:`_shingle_rows`).  Docs shorter than ``k`` emit nothing (no
+    signal).  Hashes are the uint64 rolling values reinterpreted as int64
+    — an internal join key, never a contract value.
+    """
+    return _shingle_rows(df, text_col, id_col,
+                         lambda c: _flat_shingle_hashes(c, k))
+
+
 def token_shingle_hashes(df: DataFrame, tokens_col: str = "tokens",
                          id_col: str = "doc_id", *,
                          k: int = 20) -> DataFrame:
@@ -87,23 +93,8 @@ def token_shingle_hashes(df: DataFrame, tokens_col: str = "tokens",
     arrays are codepoints (input_hint), so the hashes are identical to the
     text path's for equal content — a corpus ingested as text and an eval
     set stored pre-tokenized decontaminate against each other exactly."""
-    slim = df.select(id_col, tokens_col)
-    id_type = slim.schema[id_col].dataType.simpleString()
-    ddl = f"{id_col} {id_type}, shingle_hash bigint"
-
-    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        for batch in batches:
-            flat, off = _list_flat(batch.column(tokens_col))
-            h, hoff = _rolling_hashes(flat, off, k)
-            uh, uoff = _unique_per_doc(h, hoff)
-            lens = np.diff(uoff)
-            idx = np.repeat(np.arange(lens.shape[0], dtype=np.int64), lens)
-            ids = batch.column(id_col).take(pa.array(idx, type=pa.int64()))
-            yield pa.RecordBatch.from_arrays(
-                [ids, pa.array(uh.astype(np.int64), type=pa.int64())],
-                names=[id_col, "shingle_hash"])
-
-    return slim.mapInArrow(run, ddl)
+    return _shingle_rows(df, tokens_col, id_col,
+                         lambda c: _rolling_hashes(*_list_flat(c), k))
 
 
 def build_eval_filter(spark, eval_df: DataFrame, *,

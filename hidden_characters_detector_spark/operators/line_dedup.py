@@ -49,9 +49,14 @@ def _exploded_lines(df: DataFrame, text_col: str, id_col: str,
     and ``line_hash`` — xxhash64 of the TRIMMED line, NULL for exempt
     lines (trimmed length < ``min_chars``), which therefore never match
     the frequent set and are never counted or dropped."""
+    # NULL text behaves as the empty document: split(NULL) is NULL and
+    # posexplode of NULL emits ZERO rows, which would silently delete the
+    # document from the rebuilt corpus — coalesce keeps the membership
+    # contract (the doc survives with one empty, exempt line)
     lines = df.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), "\n"))
+        F.posexplode(F.split(F.coalesce(F.col(text_col), F.lit("")),
+                             "\n"))
         .alias("line_no", "line"))
     norm = F.trim(F.col("line"))
     return lines.withColumn(

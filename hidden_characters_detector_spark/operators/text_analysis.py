@@ -184,7 +184,13 @@ def vocab_stats(df: DataFrame, tokens_col: str = "tokens") -> DataFrame:
     modal token's count, and unigram entropy in bits
     (``log2(N) - Σ c·log2(c) / N`` — the compression-floor / diversity
     number a tokenizer or mixing change shifts).  Same bounded-shuffle
-    plan as :func:`token_histogram` plus a scalar final aggregate."""
+    plan as :func:`token_histogram` plus a scalar final aggregate.
+
+    The entropy is a double sum whose accumulation order differs between
+    engines; the absolute error is ~1e-15·vocab_size, and vocab size is
+    bounded by the distinct-token count (≤ 0x110000 for codepoints), so
+    the 6-decimal rounded contract value sits ≥6 orders of magnitude
+    clear of any rounding boundary in practice."""
     hist = token_histogram(df, tokens_col)
     c = F.col("n_occurrences")
     n = F.sum(c)
@@ -226,7 +232,10 @@ def repetition_scores(df: DataFrame, text_col: str = "text",
     combine and a narrow per-doc join back (the joined frame carries only
     ids + metrics, never the text).
     """
-    c = F.col(text_col)
+    # NULL text scores as the empty document — NULL would otherwise
+    # propagate into every fraction AND the is_repetitive flag, and a
+    # caller's `where(~is_repetitive)` silently drops NULL rows
+    c = F.coalesce(F.col(text_col), F.lit(""))
     lsn = F.transform(F.split(c, "\n"), lambda x: F.trim(x))
     dist = F.array_distinct(lsn)
     n_lines = F.size(lsn)

@@ -147,25 +147,34 @@ def main() -> None:
     rec = ProgressRecorder(args.metrics)
     spark.streams.addListener(rec)
 
+    decontam_bc = None
+    if args.decontam_eval:
+        from hidden_characters_detector_spark.operators.decontam import (
+            build_eval_filter)
+        decontam_bc = build_eval_filter(
+            spark, spark.read.parquet(args.decontam_eval),
+            k=args.decontam_k)
+
     if args.sink == "iceberg":
         # surfaces a clear error + recipe when the jars are absent
+        from pyspark.sql import functions as F
+
         from hidden_characters_detector_spark.sinks.exactly_once import (
             iceberg_sink)
         tok = pipeline.read_token_stream(
             spark, args.input,
             max_files_per_trigger=args.max_files_per_trigger)
+        if decontam_bc is not None:
+            # the gate must apply on this branch too, not silently no-op
+            from hidden_characters_detector_spark.operators.decontam import (
+                mark_contaminated)
+            tok = (mark_contaminated(tok, decontam_bc, k=args.decontam_k)
+                   .where(~F.col("contaminated")).drop("contaminated"))
         q = iceberg_sink(pipeline.clean_stream(tok, cfg), args.output,
                          os.path.join(args.checkpoint, "sink"),
                          trigger_available_now=args.available_now,
                          query_name="cleaned-sink")
     else:
-        decontam_bc = None
-        if args.decontam_eval:
-            from hidden_characters_detector_spark.operators.decontam import (
-                build_eval_filter)
-            decontam_bc = build_eval_filter(
-                spark, spark.read.parquet(args.decontam_eval),
-                k=args.decontam_k)
         q = pipeline.single_pass_pipeline(
             spark, args.input, args.output,
             os.path.join(args.checkpoint, "sink"), cfg=cfg,

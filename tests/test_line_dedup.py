@@ -65,6 +65,20 @@ def test_dedup_lines_exempts_short_lines_and_keeps_empty_docs(spark):
         assert r["n_lines_kept"] == 1
 
 
+def test_dedup_lines_null_text_keeps_membership(spark):
+    """A NULL-text row (common in raw web dumps) must survive as the
+    empty document, not vanish from the rebuilt corpus (split(NULL)
+    would otherwise posexplode to zero rows)."""
+    rows = [("d0", "keep me"), ("d1", None)]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    out = {r["doc_id"]: r for r in
+           line_dedup.dedup_lines(docs, min_docs=5).collect()}
+    assert set(out) == {"d0", "d1"}
+    assert out["d1"]["text_dedup"] == ""
+    assert out["d1"]["n_lines"] == 1
+    assert out["d1"]["n_lines_dropped"] == 0
+
+
 def test_frequent_lines_census(spark):
     docs = _corpus(spark)
     freq = line_dedup.frequent_lines(docs, min_docs=5, with_sample=True)

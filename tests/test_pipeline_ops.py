@@ -517,6 +517,12 @@ def test_repetition_scores_planted(spark):
     assert (r3["dup_line_frac"], r3["dup_line_char_frac"],
             r3["top_bigram_char_frac"]) == (0.0, 0.0, 0.0)
     assert not r3["is_repetitive"]
+    # NULL text scores as empty — a NULL is_repetitive would make a
+    # caller's where(~is_repetitive) silently drop the row
+    nr = text_analysis.repetition_scores(spark.createDataFrame(
+        [("rn", None)], "doc_id string, text string")).collect()[0]
+    assert nr["is_repetitive"] is False
+    assert nr["n_chars"] == 0
 
 
 def test_epoch_shuffle_deterministic_independent_permutations(spark):

@@ -1002,7 +1002,15 @@ def test_single_pass_pipeline_decontam_gate(spark, tmp_path):
     os.makedirs(src)
     now = time.time()
     _write_file(spark, [_row("g0", clean_toks, "web", _mins(0)),
-                        _row("leak", leak_toks, "web", _mins(1))],
+                        _row("leak", leak_toks, "web", _mins(1)),
+                        # contaminated AND quarantine-bad (null time):
+                        # must reach NEITHER sink — the raw quarantine
+                        # re-scan honors the gate too
+                        ("leakbad", leak_toks, len(leak_toks), "web",
+                         None),
+                        # bad-but-clean: still quarantined as usual
+                        ("b_time", clean_toks, len(clean_toks), "web",
+                         None)],
                 os.path.join(src, "f1"), now - 300)
     evl = spark.createDataFrame([("e0", leak_toks[3:27])],
                                 "doc_id string, tokens array<int>")
@@ -1020,11 +1028,15 @@ def test_single_pass_pipeline_decontam_gate(spark, tmp_path):
 
     sink = read_sink(spark, os.path.join(out, "cleaned"))
     assert {r["doc_id"] for r in sink.collect()} == {"g0"}
+    quar = {r["doc_id"]: r["quarantine_reason"]
+            for r in pipeline.read_quarantine(spark, out).collect()}
+    assert quar == {"b_time": "null_event_time"}   # leakbad in NO sink
     deadline = time.time() + 30
-    while (rec.observed("decontam_metrics", "n_contaminated") < 1
+    while (rec.observed("decontam_metrics", "n_contaminated") < 2
            and time.time() < deadline):
         time.sleep(0.5)
-    assert rec.observed("decontam_metrics", "n_contaminated") == 1
+    assert rec.observed("decontam_metrics", "n_contaminated") == 2
+    assert rec.observed("clean_metrics", "n_quarantined") == 1
 
 
 def test_source_wal_missing_entry_raises(spark, tmp_path):
