@@ -28,6 +28,30 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 
+def _posix_dir(path: str, what: str = "sink") -> str:
+    """The manifest/compaction metadata I/O here is POSIX (``open`` /
+    ``os.replace`` / ``os.listdir``) BY DESIGN — this module is the
+    documented local-mode stand-in for Iceberg.  Accept bare paths and
+    ``file://`` URIs (normalized, so a pipeline using a ``file://``-scheme
+    checkpoint can use the same-scheme sink); refuse any other scheme
+    LOUDLY, pointing at the scheme-agnostic production path, instead of
+    letting Spark write data files that the manifest writer then cannot
+    commit."""
+    from urllib.parse import urlparse
+
+    u = urlparse(path)
+    if u.scheme in ("", None):
+        return path
+    if u.scheme == "file":
+        return u.path
+    raise ValueError(
+        f"the parquet manifest {what} performs POSIX metadata I/O "
+        f"(manifests, generation renames) and needs a locally-visible "
+        f"path — got scheme '{u.scheme}'.  For hdfs:///s3a:// deployments "
+        "use sinks.exactly_once.iceberg_sink: Iceberg snapshot commits "
+        "give the same exactly-once contract natively on any scheme.")
+
+
 def parquet_dir_rows(path: str) -> int:
     """Row count of a parquet directory from file footers only (no job).
 
@@ -36,6 +60,7 @@ def parquet_dir_rows(path: str) -> int:
     """
     import pyarrow.parquet as pq
 
+    path = _posix_dir(path)
     total = 0
     for f in os.listdir(path):
         if f.endswith(".parquet") and not f.startswith("_"):
@@ -47,6 +72,7 @@ def write_manifest(out_dir: str, batch_id: int, rows: int) -> None:
     """Atomically publish the per-batch manifest (the commit marker
     :func:`compact_sink`'s gate reads).  ONE writer for the format — every
     sink that wants its batch dirs compactable goes through here."""
+    out_dir = _posix_dir(out_dir)
     manifest = os.path.join(out_dir, f"_manifest_batch_{batch_id}.json")
     tmp = manifest + ".tmp"
     with open(tmp, "w") as f:
@@ -63,6 +89,7 @@ def backfill_manifests(out_dir: str) -> int:
     an actually-in-flight batch dir would be committed prematurely.
     Returns the number of manifests written.
     """
+    out_dir = _posix_dir(out_dir)
     n = 0
     for d in _batch_dirs(out_dir):
         bid = int(d.split("=", 1)[1])
@@ -81,6 +108,7 @@ def write_batch_partition(batch_df: DataFrame, batch_id: int,
     Returns the committed row count (footer metadata, not a recompute) and
     drops an atomic JSON manifest next to the partition.
     """
+    out_dir = _posix_dir(out_dir)
     out = (batch_df
            .withColumn("batch_id", F.lit(batch_id))
            .withColumn("sink_partition_id", F.spark_partition_id()))
@@ -122,6 +150,7 @@ def read_sink(spark, out_dir: str) -> DataFrame:
     After :func:`compact_sink` has run, reads the compacted generation
     directory plus any batch partitions newer than the compaction point.
     """
+    out_dir = _posix_dir(out_dir)
     comp_meta = os.path.join(out_dir, "_compaction.json")
     if os.path.exists(comp_meta):
         with open(comp_meta) as f:
@@ -189,6 +218,7 @@ def compact_sink(spark, out_dir: str, *,
     import math
     import shutil
 
+    out_dir = _posix_dir(out_dir)
     comp_meta = os.path.join(out_dir, "_compaction.json")
     prev = None
     if os.path.exists(comp_meta):

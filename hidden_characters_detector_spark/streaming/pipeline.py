@@ -329,9 +329,16 @@ def single_pass_pipeline(spark: SparkSession, input_path: str, out_dir: str,
 
     from ..operators.quarantine import (QUARANTINE_REASON_COL,
                                         with_quarantine_reason)
-    from ..sinks.exactly_once import (parquet_dir_rows,
+    from ..sinks.exactly_once import (_posix_dir, parquet_dir_rows,
                                       write_batch_partition,
                                       write_manifest)
+
+    # the parquet manifest sink's metadata I/O is POSIX (see
+    # sinks.exactly_once._posix_dir): normalize file:// and refuse other
+    # schemes up front, BEFORE the query starts, rather than failing (or
+    # silently no-opting rmtree) mid-batch.  The CHECKPOINT may be any
+    # scheme — its reads go through the Hadoop FileSystem.
+    out_dir = _posix_dir(out_dir, what="pipeline output")
 
     tok = read_token_stream(spark, input_path,
                             max_files_per_trigger=max_files_per_trigger)
@@ -454,9 +461,10 @@ def read_quarantine(spark: SparkSession, out_dir: str) -> DataFrame:
     schema that depends on whether anything was quarantined."""
     import os
 
-    from ..sinks.exactly_once import read_sink
+    from ..sinks.exactly_once import _posix_dir, read_sink
 
-    qdir = os.path.join(out_dir, "quarantine")
+    qdir = os.path.join(_posix_dir(out_dir, what="pipeline output"),
+                        "quarantine")
     has_batches = os.path.isdir(qdir) and any(
         d.startswith("batch_id=") or d.startswith("gen-")
         for d in os.listdir(qdir))

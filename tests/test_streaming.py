@@ -1039,6 +1039,28 @@ def test_single_pass_pipeline_decontam_gate(spark, tmp_path):
     assert rec.observed("clean_metrics", "n_quarantined") == 1
 
 
+def test_sink_scheme_guard_and_file_uri_normalization(spark, tmp_path):
+    """The parquet manifest sink is the documented POSIX local-mode
+    stand-in for Iceberg: a file:// output URI normalizes and works end
+    to end; a remote scheme is refused LOUDLY up front (Spark would write
+    the data files, then the manifest open() would fail mid-batch — or
+    rmtree would silently no-op)."""
+    from hidden_characters_detector_spark.sinks.exactly_once import (
+        read_sink, write_batch_partition)
+
+    out_uri = "file://" + str(tmp_path / "out")
+    df = spark.createDataFrame([("d0", 1)], "doc_id string, v int")
+    n = write_batch_partition(df, 0, out_uri)
+    assert n == 1
+    assert read_sink(spark, out_uri).count() == 1
+    with pytest.raises(ValueError, match="iceberg_sink"):
+        write_batch_partition(df, 1, "s3a://bucket/out")
+    with pytest.raises(ValueError, match="iceberg_sink"):
+        pipeline.single_pass_pipeline(
+            spark, str(tmp_path / "in"), "hdfs://nn/out",
+            str(tmp_path / "ck"))
+
+
 def test_source_wal_missing_entry_raises(spark, tmp_path):
     """A batch with NO WAL entry is a parse/layout failure, not an empty
     batch: silently returning [] would drop quarantined rows from both
