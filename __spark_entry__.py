@@ -1039,6 +1039,40 @@ def _o_stratified_sample():
     SELECT doc_id, source FROM documents WHERE {u} < ({case})"""
 
 
+def q_temperature_mix(spark, sf_dir):
+    """Temperature-based source rebalancing
+    (``operators.sampling.temperature_mix``): keep probability per source
+    ∝ sqrt(n_s) (alpha=0.5), scaled to a half-corpus budget, decided by
+    the deterministic id hash.  The oracle recomputes the identical
+    fraction arithmetic in SQL (sqrt is IEEE-correctly-rounded in both
+    engines; the association order of the scale expression is mirrored
+    term for term)."""
+    from hidden_characters_detector_spark.operators import sampling
+    docs = _table(spark, sf_dir, "documents").select("doc_id", "source")
+    counts = {r["source"]: r["cnt"] for r in
+              docs.groupBy("source").agg(F.count("*").alias("cnt"))
+              .collect()}
+    budget = sum(counts.values()) // 2
+    return sampling.temperature_mix(docs, counts, alpha=0.5,
+                                    total_budget=budget, salt=44)
+
+
+def _o_temperature_mix():
+    u = _o_hash_unit("CAST(doc_id AS VARCHAR)", 44)
+    return f"""
+    WITH c AS (SELECT source, CAST(count(*) AS DOUBLE) AS cnt
+               FROM documents GROUP BY source),
+    w AS (SELECT source, cnt, sqrt(cnt) AS wt FROM c),
+    f AS (SELECT source,
+                 least(1.0,
+                       (SELECT count(*) // 2 FROM documents)
+                       * wt / (SELECT sum(wt) FROM w) / cnt) AS frac
+          FROM w)
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN f ON d.source = f.source
+    WHERE {u} < f.frac"""
+
+
 def q_epoch_shuffle(spark, sf_dir):
     """Deterministic epoch shuffle (training-order generation,
     ``operators.sampling.epoch_shuffle``): the permutation key is a pure
@@ -1788,6 +1822,7 @@ _EXTRA_QUERIES = {
     "fingerprints": q_fingerprints,
     "train_test_split": q_train_test_split,
     "epoch_shuffle": q_epoch_shuffle,
+    "temperature_mix": q_temperature_mix,
     "stratified_sample": q_stratified_sample,
     "length_stats": q_length_stats,
 }
@@ -1820,6 +1855,7 @@ _EXTRA_ORACLES = {
     "multimodal_features": _o_multimodal_features,
     "train_test_split": _o_train_test_split,
     "epoch_shuffle": _o_epoch_shuffle,
+    "temperature_mix": _o_temperature_mix,
     "stratified_sample": _o_stratified_sample,
     "length_stats": _o_length_stats,
 }

@@ -44,7 +44,7 @@ from pyspark.sql import functions as F
 
 
 def _exploded_lines(df: DataFrame, text_col: str, id_col: str,
-                    min_chars: int) -> DataFrame:
+                    min_chars: int, sep_pattern: str = "\n") -> DataFrame:
     """One row per (doc, line): ``line_no`` (0-based), verbatim ``line``,
     and ``line_hash`` — xxhash64 of the TRIMMED line, NULL for exempt
     lines (trimmed length < ``min_chars``), which therefore never match
@@ -56,7 +56,7 @@ def _exploded_lines(df: DataFrame, text_col: str, id_col: str,
     lines = df.select(
         F.col(id_col),
         F.posexplode(F.split(F.coalesce(F.col(text_col), F.lit("")),
-                             "\n"))
+                             sep_pattern))
         .alias("line_no", "line"))
     norm = F.trim(F.col("line"))
     return lines.withColumn(
@@ -66,7 +66,7 @@ def _exploded_lines(df: DataFrame, text_col: str, id_col: str,
 
 def frequent_lines(df: DataFrame, text_col: str = "text",
                    id_col: str = "doc_id", *, min_docs: int = 5,
-                   min_chars: int = 1,
+                   min_chars: int = 1, sep_pattern: str = "\n",
                    with_sample: bool = False) -> DataFrame:
     """The boilerplate census: ``(line_hash, n_docs)`` for every normalized
     line occurring in ≥ ``min_docs`` distinct documents.
@@ -85,7 +85,7 @@ def frequent_lines(df: DataFrame, text_col: str = "text",
     broadcasts the (tiny) frequent set against the exploded lines — the
     text stays out of the counting shuffle either way.
     """
-    lines = _exploded_lines(df, text_col, id_col, min_chars)
+    lines = _exploded_lines(df, text_col, id_col, min_chars, sep_pattern)
     pairs = (lines.where(F.col("line_hash").isNotNull())
              .select("line_hash", id_col).dropDuplicates())
     freq = (pairs.groupBy("line_hash")
@@ -100,7 +100,8 @@ def frequent_lines(df: DataFrame, text_col: str = "text",
 
 def dedup_lines(df: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id", *, min_docs: int = 5,
-                min_chars: int = 1,
+                min_chars: int = 1, sep_pattern: str = "\n",
+                join_sep: str = "\n",
                 broadcast_frequent: bool = True) -> DataFrame:
     """Drop every line occurring in ≥ ``min_docs`` distinct documents and
     rebuild each document's text from the surviving lines (original order,
@@ -108,6 +109,12 @@ def dedup_lines(df: DataFrame, text_col: str = "text",
 
     Lines whose trimmed length is < ``min_chars`` are exempt (an empty
     line "repeats" everywhere but is structure, not boilerplate).
+
+    PARAGRAPH mode (the RefinedWeb/Dolma variant of the same transform):
+    pass ``sep_pattern=r"\\n{2,}"`` and ``join_sep="\\n\\n"`` — units
+    become blank-line-separated paragraphs, and runs of 3+ newlines are
+    normalized to exactly one blank separator on rebuild (the standard
+    lossy-but-intended behavior of paragraph dedup).
 
     Output: one row per input document —
     ``(id_col, text_dedup, n_lines, n_lines_kept, n_lines_dropped)``.
@@ -120,9 +127,9 @@ def dedup_lines(df: DataFrame, text_col: str = "text",
     only if the threshold is so low the frequent set rivals executor
     memory, in which case the membership probe becomes a shuffle join.
     """
-    lines = _exploded_lines(df, text_col, id_col, min_chars)
+    lines = _exploded_lines(df, text_col, id_col, min_chars, sep_pattern)
     freq = (frequent_lines(df, text_col, id_col, min_docs=min_docs,
-                           min_chars=min_chars)
+                           min_chars=min_chars, sep_pattern=sep_pattern)
             .select("line_hash", F.lit(True).alias("_drop")))
     if broadcast_frequent:
         freq = F.broadcast(freq)
@@ -133,7 +140,7 @@ def dedup_lines(df: DataFrame, text_col: str = "text",
             .agg(
                 # collect_list skips NULLs (the dropped lines); struct sort
                 # orders by line_no first, restoring document order
-                F.concat_ws("\n", F.transform(
+                F.concat_ws(join_sep, F.transform(
                     F.array_sort(F.collect_list(kept_struct)),
                     lambda s: s["line"])).alias("text_dedup"),
                 F.count("*").cast("long").alias("n_lines"),

@@ -39,6 +39,42 @@ def train_test_split(df: DataFrame, id_col: str = "doc_id", *,
         .otherwise(F.lit("test")))
 
 
+def temperature_fractions(counts: dict[str, int], *, alpha: float = 0.5,
+                          total_budget: int) -> dict[str, float]:
+    """Per-source keep fractions for temperature-based mixing: source
+    probability ∝ ``n_s^alpha`` (the multilingual-pretraining upsampling
+    rule — alpha<1 flattens the head, lifts the tail), scaled so the
+    expected kept total is ``total_budget`` and clamped at 1.0 (a tail
+    source can't be sampled above its size; the realized total then runs
+    slightly under budget, the standard behavior).  Deterministic:
+    iteration is over sorted sources so the float sum is reproducible.
+    """
+    if alpha < 0:
+        raise ValueError("alpha must be >= 0")
+    keys = sorted(counts)
+    weights = {s: float(counts[s]) ** alpha for s in keys}
+    z = sum(weights[s] for s in keys)
+    return {s: min(1.0, total_budget * weights[s] / z / counts[s])
+            for s in keys}
+
+
+def temperature_mix(df: DataFrame, counts: dict[str, int], *,
+                    alpha: float = 0.5, total_budget: int,
+                    strata_col: str = "source", id_col: str = "doc_id",
+                    salt: int | str = 44) -> DataFrame:
+    """Rebalance a multi-source corpus by sampling temperature: keep each
+    row with its source's :func:`temperature_fractions` probability,
+    decided by the deterministic id hash — zero shuffle, partitioning-
+    independent, reproducible (plain :func:`stratified_sample` under
+    computed fractions).  ``counts`` comes from table statistics or one
+    ``groupBy(strata_col).count()`` — pass it in rather than recomputing
+    so the projection stays a single codegen pass."""
+    fracs = temperature_fractions(counts, alpha=alpha,
+                                  total_budget=total_budget)
+    return stratified_sample(df, fracs, strata_col=strata_col,
+                             id_col=id_col, salt=salt)
+
+
 def epoch_shuffle(df: DataFrame, epoch: int, id_col: str = "doc_id", *,
                   n_shards: int | None = None,
                   salt: str = "epoch") -> DataFrame:

@@ -65,6 +65,29 @@ def test_dedup_lines_exempts_short_lines_and_keeps_empty_docs(spark):
         assert r["n_lines_kept"] == 1
 
 
+def test_dedup_lines_paragraph_mode(spark):
+    """sep_pattern=r'\\n{2,}' dedups blank-line-separated PARAGRAPHS:
+    a multi-line paragraph repeated across docs drops as one unit, and
+    3+-newline runs normalize to one blank separator on rebuild."""
+    para = "promo paragraph line one\npromo line two"
+    rows = [(f"d{i}", f"unique intro {i}\n\n{para}\n\n\nunique tail {i}")
+            for i in range(6)]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    out = {r["doc_id"]: r for r in
+           line_dedup.dedup_lines(docs, min_docs=5,
+                                  sep_pattern=r"\n{2,}",
+                                  join_sep="\n\n").collect()}
+    for i in range(6):
+        r = out[f"d{i}"]
+        assert r["text_dedup"] == f"unique intro {i}\n\nunique tail {i}"
+        assert r["n_lines"] == 3 and r["n_lines_dropped"] == 1
+    # line mode over the same corpus would NOT drop (each physical line
+    # of the paragraph alone is still boilerplate here, but the intro /
+    # tail survive either way) — just assert paragraph atomicity: the
+    # two promo lines vanished together
+    assert all("promo" not in out[f"d{i}"]["text_dedup"] for i in range(6))
+
+
 def test_dedup_lines_null_text_keeps_membership(spark):
     """A NULL-text row (common in raw web dumps) must survive as the
     empty document, not vanish from the rebuilt corpus (split(NULL)

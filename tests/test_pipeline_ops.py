@@ -550,6 +550,50 @@ def test_epoch_shuffle_deterministic_independent_permutations(spark):
     assert all(0.1 * n < c < 0.5 * n for c in per.values())
 
 
+def test_temperature_mix_flattens_source_skew(spark):
+    """alpha<1 lifts tail sources relative to head sources, keeps the
+    expected total near budget, clamps tail fractions at 1.0, and stays
+    deterministic under repartitioning."""
+    from hidden_characters_detector_spark.operators import sampling
+
+    counts = {"head": 8000, "mid": 1500, "tail": 120}
+    rows = [(f"{s}_{i}", s) for s, c in counts.items() for i in range(c)]
+    docs = spark.createDataFrame(rows, "doc_id string, source string")
+    budget = 4000
+    fr = sampling.temperature_fractions(counts, alpha=0.5,
+                                        total_budget=budget)
+    # sqrt weighting: keep-rate ordering inverts the size ordering
+    assert fr["tail"] > fr["mid"] > fr["head"]
+    assert fr["tail"] <= 1.0
+    kept = sampling.temperature_mix(docs, counts, alpha=0.5,
+                                    total_budget=budget)
+    per = {r["source"]: r["cnt"] for r in kept.groupBy("source")
+           .agg(F.count("*").alias("cnt")).collect()}
+    total = sum(per.values())
+    expected = sum(min(counts[s] * fr[s], counts[s]) for s in counts)
+    assert abs(total - expected) < 0.15 * expected
+    # tail share of the mix rose vs its corpus share
+    assert per["tail"] / total > counts["tail"] / sum(counts.values())
+    a = sorted(r["doc_id"] for r in kept.collect())
+    b = sorted(r["doc_id"] for r in sampling.temperature_mix(
+        docs.repartition(7), counts, alpha=0.5,
+        total_budget=budget).collect())
+    assert a == b
+
+
+def test_epoch_shuffle_plan_is_projection_plus_range_sort(spark):
+    """The permutation key/shard are codegen projections; the only
+    exchange is the range partitioning of the global sort."""
+    from hidden_characters_detector_spark.operators import sampling
+
+    docs = spark.range(0, 1000).selectExpr("cast(id as string) AS doc_id")
+    plan = (sampling.epoch_shuffle(docs, epoch=1, n_shards=8)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert plan.count("Exchange rangepartitioning") == 1
+    assert "Exchange hashpartitioning" not in plan
+    assert "md5" in plan          # the key is the deterministic id hash
+
+
 def test_top_ngrams_tiny_docs(spark):
     """Docs shorter than n words must not error under ANSI element_at."""
     rows = [("a", "one"), ("b", ""), ("c", "two words"),
