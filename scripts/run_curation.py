@@ -19,7 +19,9 @@ Stages, in curation order (each independently switchable):
  4. line dedup             — cross-document boilerplate removal (C4)
  5. exact dedup            — min-id keeper per content hash
  6. decontamination        — drop docs sharing char k-grams with --eval
- 7. split / epoch shuffle  — deterministic train/test tag + per-epoch
+ 7. temperature mixing     — n^alpha source rebalance (--mix-alpha,
+                             --mix-budget)
+ 8. split / epoch shuffle  — deterministic train/test tag + per-epoch
                              permutation, written partitioned by shard
 
 Every stage is the operator the test suite and driver contract gate —
@@ -63,6 +65,15 @@ def main() -> None:
     ap.add_argument("--line-dedup", default=True,
                     action=argparse.BooleanOptionalAction)
     ap.add_argument("--line-min-docs", type=int, default=5)
+    ap.add_argument("--paragraphs", action="store_true",
+                    help="line-dedup blank-line-separated PARAGRAPHS as "
+                         "atomic units instead of physical lines")
+    ap.add_argument("--mix-alpha", type=float, default=None,
+                    help="temperature-rebalance sources with keep "
+                         "probability proportional to n^alpha (requires "
+                         "--mix-budget)")
+    ap.add_argument("--mix-budget", type=int, default=None,
+                    help="target kept-document budget for --mix-alpha")
     ap.add_argument("--exact-dedup", default=True,
                     action=argparse.BooleanOptionalAction)
     ap.add_argument("--decontam-k", type=int, default=20)
@@ -127,9 +138,12 @@ def main() -> None:
             ~F.col("is_repetitive")).select(id_col)
         cur = cur.join(rep, id_col, "left_semi")
         note("repetition", cur)
-    # 4. cross-document line dedup (rebuilds text)
+    # 4. cross-document line/paragraph dedup (rebuilds text)
     if args.line_dedup:
-        cur = (line_dedup.dedup_lines(cur, min_docs=args.line_min_docs)
+        sep = dict(sep_pattern=r"\n{2,}", join_sep="\n\n") \
+            if args.paragraphs else {}
+        cur = (line_dedup.dedup_lines(cur, min_docs=args.line_min_docs,
+                                      **sep)
                .select(id_col, F.col("text_dedup").alias("text")))
         note("line_dedup", cur)
     # 5. exact dedup (after line dedup: boilerplate removal creates dups)
@@ -143,7 +157,25 @@ def main() -> None:
         cur = decontam.decontaminate(cur, evl, k=args.decontam_k,
                                      min_hits=args.decontam_min_hits)
         note("decontaminate", cur)
-    # 7. split / epoch order / write
+    # 7. temperature-based source rebalancing (needs the source column)
+    if args.mix_alpha is not None:
+        if args.mix_budget is None:
+            raise SystemExit("--mix-alpha requires --mix-budget")
+        if "source" in docs.columns:
+            mixed = cur.join(docs.select(id_col, "source"), id_col,
+                             "left") \
+                .withColumn("source",
+                            F.coalesce("source", F.lit("unknown")))
+        else:
+            mixed = cur.withColumn("source", F.lit("unknown"))
+        counts = {r["source"]: r["cnt"] for r in
+                  mixed.groupBy("source").agg(F.count("*").alias("cnt"))
+                  .collect()}
+        cur = sampling.temperature_mix(
+            mixed, counts, alpha=args.mix_alpha,
+            total_budget=args.mix_budget).drop("source")
+        note("temperature_mix", cur)
+    # 8. split / epoch order / write
     if args.train_frac is not None:
         cur = sampling.train_test_split(cur, train_frac=args.train_frac)
     writer_df = cur
