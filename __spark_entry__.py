@@ -1676,6 +1676,47 @@ def _o_line_dedup():
     FROM f GROUP BY doc_id"""
 
 
+def q_line_dedup_within(spark, sf_dir):
+    """WITHIN-document duplicate-line removal
+    (``operators.line_dedup.dedup_lines_within``): first occurrence of
+    each normalized line kept, later repeats dropped, blank lines exempt
+    — zero-shuffle JVM HOFs.  Fixture: the multiline docs with every
+    third doc's header line repeated at the end, so drops are
+    non-vacuous; the oracle mirrors the first-occurrence probe with
+    DuckDB's indexed list_filter."""
+    from hidden_characters_detector_spark.operators import line_dedup
+    docs = _table(spark, sf_dir, "documents").selectExpr(
+        "cast(doc_id as string) AS doc_id",
+        f"concat({_LINE_DEDUP_TEXT_SPARK}, "
+        "CASE WHEN doc_id % 3 = 0 THEN concat(char(10), "
+        "'template header v', doc_id % 4) ELSE '' END) AS text")
+    return line_dedup.dedup_lines_within(docs).select(
+        "doc_id", "text_dedup", "n_lines", "n_lines_dropped")
+
+
+def _o_line_dedup_within():
+    return f"""
+    WITH m AS (
+      SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+             {_LINE_DEDUP_TEXT_DUCK} ||
+             CASE WHEN doc_id % 3 = 0
+                  THEN chr(10) || 'template header v' || (doc_id % 4)
+                  ELSE '' END AS text
+      FROM documents),
+    b AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM m),
+    k AS (
+      SELECT doc_id, ls,
+             list_filter(ls, (x, i) ->
+                 length(trim(x)) < 1
+                 OR list_position(list_transform(ls, y -> trim(y)),
+                                  trim(x)) = i) AS kept
+      FROM b)
+    SELECT doc_id, array_to_string(kept, chr(10)) AS text_dedup,
+           CAST(len(ls) AS BIGINT) AS n_lines,
+           CAST(len(ls) - len(kept) AS BIGINT) AS n_lines_dropped
+    FROM k"""
+
+
 def q_decontaminate(spark, sf_dir):
     """Benchmark decontamination audit (``operators.decontam``): the eval
     set is derived deterministically from held-out documents (doc_id % 7
@@ -1796,6 +1837,7 @@ def _o_repetition():
 
 _EXTRA_QUERIES = {
     "line_dedup": q_line_dedup,
+    "line_dedup_within": q_line_dedup_within,
     "decontaminate": q_decontaminate,
     "repetition": q_repetition,
     "token_histogram": q_token_histogram,
@@ -1829,6 +1871,7 @@ _EXTRA_QUERIES = {
 
 _EXTRA_ORACLES = {
     "line_dedup": _o_line_dedup,
+    "line_dedup_within": _o_line_dedup_within,
     "decontaminate": _o_decontaminate,
     "repetition": _o_repetition,
     "token_histogram": _o_token_histogram,

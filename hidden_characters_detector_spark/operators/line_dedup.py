@@ -64,6 +64,38 @@ def _exploded_lines(df: DataFrame, text_col: str, id_col: str,
         F.when(F.length(norm) >= min_chars, F.xxhash64(norm)))
 
 
+def dedup_lines_within(df: DataFrame, text_col: str = "text", *,
+                       min_chars: int = 1, sep: str = "\n") -> DataFrame:
+    """WITHIN-document duplicate-line removal: keep each normalized line's
+    FIRST occurrence inside a document, drop later repeats (the intra-doc
+    complement of :func:`dedup_lines` — a page whose nav menu repeats ten
+    times keeps one copy even if no other document shares it).  Lines
+    with trimmed length < ``min_chars`` are exempt (blank separators are
+    structure).
+
+    Pure per-row JVM higher-order functions — zero shuffle, zero Python,
+    partitioning-trivial.  The first-occurrence probe is
+    ``array_position`` per line, i.e. O(L²) in a document's LINE count:
+    bounded and cheap for real documents (hundreds of lines → ~10⁴
+    comparisons); for pathological million-line documents route through
+    the exploded/regroup machinery of :func:`dedup_lines` instead.
+
+    Adds ``text_dedup`` (rebuilt, original order/whitespace), ``n_lines``
+    and ``n_lines_dropped``; other columns pass through.
+    """
+    lines = F.split(F.coalesce(F.col(text_col), F.lit("")), sep)
+    norms = F.transform(lines, lambda x: F.trim(x))
+    kept = F.filter(
+        lines,
+        lambda x, i: (F.length(F.trim(x)) < min_chars)
+        | (F.array_position(norms, F.trim(x)) == i + 1))
+    return (df
+            .withColumn("text_dedup", F.concat_ws(sep, kept))
+            .withColumn("n_lines", F.size(lines).cast("long"))
+            .withColumn("n_lines_dropped",
+                        (F.size(lines) - F.size(kept)).cast("long")))
+
+
 def frequent_lines(df: DataFrame, text_col: str = "text",
                    id_col: str = "doc_id", *, min_docs: int = 5,
                    min_chars: int = 1, sep_pattern: str = "\n",

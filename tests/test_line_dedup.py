@@ -88,6 +88,30 @@ def test_dedup_lines_paragraph_mode(spark):
     assert all("promo" not in out[f"d{i}"]["text_dedup"] for i in range(6))
 
 
+def test_dedup_lines_within_keeps_first_occurrence(spark):
+    """Within-doc dedup: first occurrence (with its original whitespace)
+    survives, later normalized repeats drop, blank separators are exempt
+    even when repeated, NULL text behaves as empty."""
+    rows = [
+        ("d0", "menu\nbody one\n\nmenu\nbody two\n\n  menu  "),
+        ("d1", "only\nlines\nhere"),
+        ("d2", None),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    out = {r["doc_id"]: r for r in
+           line_dedup.dedup_lines_within(docs).collect()}
+    assert out["d0"]["text_dedup"] == "menu\nbody one\n\nbody two\n"
+    assert out["d0"]["n_lines"] == 7
+    assert out["d0"]["n_lines_dropped"] == 2      # 'menu' and '  menu  '
+    assert out["d1"]["text_dedup"] == "only\nlines\nhere"
+    assert out["d1"]["n_lines_dropped"] == 0
+    assert out["d2"]["text_dedup"] == ""
+    # zero-shuffle plan: pure projection
+    plan = (line_dedup.dedup_lines_within(docs)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan
+
+
 def test_dedup_lines_null_text_keeps_membership(spark):
     """A NULL-text row (common in raw web dumps) must survive as the
     empty document, not vanish from the rebuilt corpus (split(NULL)
