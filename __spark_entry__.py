@@ -1572,6 +1572,41 @@ def _o_pack_sequences():
     FROM p GROUP BY bucket, pack_id"""
 
 
+def q_padding_waste(spark, sf_dir):
+    """Length-bucketed padding census (``operators.packing.padding_waste``
+    — the length-grouped-batching profile): docs pad to the smallest
+    bucket ≥ their length, overflow truncates to the largest; per-bucket
+    docs / tokens / padded slots / waste fraction / truncated tokens.
+    Codegen CASE-chain bucket + ≤4-group aggregate; the oracle mirrors
+    the chain verbatim."""
+    from hidden_characters_detector_spark.operators import packing
+    docs = _table(spark, sf_dir, "documents").selectExpr(
+        "n_chars AS n_tok")
+    return packing.padding_waste(docs, buckets=(64, 128, 256, 512))
+
+
+def _o_padding_waste():
+    return """
+    WITH r AS (
+      SELECT CASE WHEN n_chars <= 64 THEN 64
+                  WHEN n_chars <= 128 THEN 128
+                  WHEN n_chars <= 256 THEN 256
+                  ELSE 512 END AS bucket,
+             n_chars AS n, least(n_chars, 512) AS kept
+      FROM documents),
+    a AS (
+      SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n) AS BIGINT) AS n_tokens,
+             CAST(sum(kept) AS BIGINT) AS kept
+      FROM r GROUP BY bucket)
+    SELECT CAST(bucket AS BIGINT) AS bucket, n_docs, n_tokens,
+           CAST(n_docs * bucket AS BIGINT) AS n_padded_slots,
+           round(1.0 - kept / CAST(n_docs * bucket AS DOUBLE), 6)
+               AS waste_frac,
+           CAST(n_tokens - kept AS BIGINT) AS n_tokens_truncated
+    FROM a"""
+
+
 def q_chunk_tokens(spark, sf_dir):
     """Sliding-window chunking: each doc's token array split into
     128-token windows with 32-token overlap (stride 96), emitted as
@@ -1843,6 +1878,7 @@ _EXTRA_QUERIES = {
     "token_histogram": q_token_histogram,
     "vocab_stats": q_vocab_stats,
     "pack_sequences": q_pack_sequences,
+    "padding_waste": q_padding_waste,
     "chunk_tokens": q_chunk_tokens,
     "quarantine": q_quarantine,
     "dict_join": q_dict_join,
@@ -1877,6 +1913,7 @@ _EXTRA_ORACLES = {
     "token_histogram": _o_token_histogram,
     "vocab_stats": _o_vocab_stats,
     "pack_sequences": _o_pack_sequences,
+    "padding_waste": _o_padding_waste,
     "chunk_tokens": _o_chunk_tokens,
     "quarantine": _o_quarantine,
     "dict_join": _o_dict_join,

@@ -109,6 +109,47 @@ def pack_summary(df: DataFrame, id_col: str = "doc_id",
                  F.max(id_col).alias("last_doc")))
 
 
+def padding_waste(df: DataFrame, size_col: str = "n_tok", *,
+                  buckets: tuple[int, ...] = (128, 256, 512, 1024, 2048)
+                  ) -> DataFrame:
+    """Length-bucketed padding census — the profiling number behind
+    length-grouped batching: each doc pads up to the smallest bucket ≥ its
+    length (docs longer than the largest bucket truncate to it), and per
+    bucket the census reports docs, real tokens, padded slots, the wasted
+    fraction, and truncated tokens.  A high ``waste_frac`` in a bucket
+    says the bucket ladder (or the packing budget) is wrong for the
+    corpus's length distribution.
+
+    Pure codegen CASE-chain bucket assignment + one partial-aggregated
+    groupBy over ≤ ``len(buckets)`` groups — no meaningful shuffle at any
+    corpus size.
+    """
+    bs = sorted(set(int(b) for b in buckets))
+    if not bs or bs[0] <= 0:
+        raise ValueError("buckets must be positive")
+    c = F.col(size_col)
+    b = F.when(c <= bs[0], bs[0])
+    for x in bs[1:]:
+        b = b.when(c <= x, x)
+    b = b.otherwise(bs[-1])
+    kept = F.least(c, F.lit(bs[-1]))
+    rows = df.select(b.cast("long").alias("bucket"),
+                     c.cast("long").alias("n"),
+                     kept.cast("long").alias("kept"))
+    agg = rows.groupBy("bucket").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n").cast("long").alias("n_tokens"),
+        F.sum("kept").cast("long").alias("n_tokens_kept"))
+    slots = F.col("n_docs") * F.col("bucket")
+    return agg.select(
+        "bucket", "n_docs", "n_tokens",
+        slots.alias("n_padded_slots"),
+        F.round(F.lit(1.0) - F.col("n_tokens_kept")
+                / slots.cast("double"), 6).alias("waste_frac"),
+        (F.col("n_tokens") - F.col("n_tokens_kept"))
+        .alias("n_tokens_truncated"))
+
+
 def chunk_tokens(df: DataFrame, tokens_col: str = "tokens",
                  id_col: str = "doc_id", *, chunk: int = 512,
                  overlap: int = 64) -> DataFrame:

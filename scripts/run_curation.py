@@ -138,8 +138,12 @@ def main() -> None:
             ~F.col("is_repetitive")).select(id_col)
         cur = cur.join(rep, id_col, "left_semi")
         note("repetition", cur)
-    # 4. cross-document line/paragraph dedup (rebuilds text)
+    # 4. line/paragraph dedup: within-doc first (repeated nav menus
+    # collapse to one copy, so the cross-doc counts see each doc vote
+    # once per line), then cross-document boilerplate removal
     if args.line_dedup:
+        cur = (line_dedup.dedup_lines_within(cur)
+               .select(id_col, F.col("text_dedup").alias("text")))
         sep = dict(sep_pattern=r"\n{2,}", join_sep="\n\n") \
             if args.paragraphs else {}
         cur = (line_dedup.dedup_lines(cur, min_docs=args.line_min_docs,

@@ -109,6 +109,28 @@ def test_pack_documents_auto_buckets_bounds_per_task_rows(spark):
         assert max(r["count"] for r in per) <= 2 * target
 
 
+def test_padding_waste_hand_computed(spark):
+    """Bucket assignment, padded slots, waste fraction, and overflow
+    truncation vs hand arithmetic; plan is a pure projection + tiny agg."""
+    docs = spark.createDataFrame([(10,), (64,), (65,), (300,), (600,)],
+                                 "n_tok long")
+    out = {r["bucket"]: r for r in packing.padding_waste(
+        docs, buckets=(64, 128, 256, 512)).collect()}
+    assert set(out) == {64, 128, 512}
+    b64 = out[64]
+    assert (b64["n_docs"], b64["n_tokens"], b64["n_padded_slots"],
+            b64["n_tokens_truncated"]) == (2, 74, 128, 0)
+    assert b64["waste_frac"] == round(1 - 74 / 128, 6)
+    b512 = out[512]
+    assert (b512["n_docs"], b512["n_tokens"], b512["n_padded_slots"],
+            b512["n_tokens_truncated"]) == (2, 900, 1024, 88)
+    assert b512["waste_frac"] == round(1 - 812 / 1024, 6)
+    plan = (packing.padding_waste(docs)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "partial_count" in plan       # map-side combine before the
+    assert "Generate" not in plan        # tiny-group shuffle; no explode
+
+
 def test_pack_summary_conserves_tokens(spark):
     docs = spark.range(0, 300).selectExpr(
         "id AS doc_id", "(id % 53) * 77 + 10 AS n_tok")
