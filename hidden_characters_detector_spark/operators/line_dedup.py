@@ -65,7 +65,8 @@ def _exploded_lines(df: DataFrame, text_col: str, id_col: str,
 
 
 def dedup_lines_within(df: DataFrame, text_col: str = "text", *,
-                       min_chars: int = 1, sep: str = "\n") -> DataFrame:
+                       min_chars: int = 1, sep_pattern: str = "\n",
+                       join_sep: str = "\n") -> DataFrame:
     """WITHIN-document duplicate-line removal: keep each normalized line's
     FIRST occurrence inside a document, drop later repeats (the intra-doc
     complement of :func:`dedup_lines` — a page whose nav menu repeats ten
@@ -80,17 +81,22 @@ def dedup_lines_within(df: DataFrame, text_col: str = "text", *,
     comparisons); for pathological million-line documents route through
     the exploded/regroup machinery of :func:`dedup_lines` instead.
 
+    ``sep_pattern`` is a REGEX (what ``F.split`` takes) and ``join_sep``
+    the literal rebuild separator — the same split the sibling
+    :func:`dedup_lines` makes, so a regex separator can't silently be
+    re-inserted verbatim between rebuilt lines.
+
     Adds ``text_dedup`` (rebuilt, original order/whitespace), ``n_lines``
     and ``n_lines_dropped``; other columns pass through.
     """
-    lines = F.split(F.coalesce(F.col(text_col), F.lit("")), sep)
+    lines = F.split(F.coalesce(F.col(text_col), F.lit("")), sep_pattern)
     norms = F.transform(lines, lambda x: F.trim(x))
     kept = F.filter(
         lines,
         lambda x, i: (F.length(F.trim(x)) < min_chars)
         | (F.array_position(norms, F.trim(x)) == i + 1))
     return (df
-            .withColumn("text_dedup", F.concat_ws(sep, kept))
+            .withColumn("text_dedup", F.concat_ws(join_sep, kept))
             .withColumn("n_lines", F.size(lines).cast("long"))
             .withColumn("n_lines_dropped",
                         (F.size(lines) - F.size(kept)).cast("long")))

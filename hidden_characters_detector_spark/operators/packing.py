@@ -127,7 +127,11 @@ def padding_waste(df: DataFrame, size_col: str = "n_tok", *,
     bs = sorted(set(int(b) for b in buckets))
     if not bs or bs[0] <= 0:
         raise ValueError("buckets must be positive")
-    c = F.col(size_col)
+    # NULL length counts as the empty document (this round's NULL-as-empty
+    # convention): without the coalesce, a NULL falls through the CASE to
+    # the LARGEST bucket and null-skipping least() credits it with a full
+    # bucket of kept tokens — negative truncation, understated waste
+    c = F.coalesce(F.col(size_col).cast("long"), F.lit(0).cast("long"))
     b = F.when(c <= bs[0], bs[0])
     for x in bs[1:]:
         b = b.when(c <= x, x)

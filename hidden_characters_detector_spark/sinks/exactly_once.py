@@ -39,10 +39,17 @@ def _posix_dir(path: str, what: str = "sink") -> str:
     commit."""
     from urllib.parse import urlparse
 
-    u = urlparse(path)
-    if u.scheme in ("", None):
+    if "://" not in path:
+        # plain local path — note urlparse alone would misread a relative
+        # path whose first segment contains a colon ("out:run1/x") as a
+        # scheme, so the URI check is the :// marker, not urlparse
         return path
+    u = urlparse(path)
     if u.scheme == "file":
+        if u.netloc not in ("", "localhost"):
+            raise ValueError(
+                f"file:// URI with a remote host ('{u.netloc}') is not a "
+                "locally-visible path")
         return u.path
     raise ValueError(
         f"the parquet manifest {what} performs POSIX metadata I/O "

@@ -391,18 +391,22 @@ def single_pass_pipeline(spark: SparkSession, input_path: str, out_dir: str,
         if files:
             raw = batch_df.sparkSession.read.schema(
                 TOKEN_STREAM_SCHEMA).parquet(*files)
+            bad = with_quarantine_reason(raw).where(reason.isNotNull())
             if decontam_eval is not None:
                 # the raw re-scan must honor the decontam gate too:
                 # without this, a row that is BOTH contaminated and
                 # quarantine-bad would land verbatim (leaked tokens and
                 # all) in the quarantine sink, breaking the "contaminated
                 # rows reach no sink" guarantee and desyncing
-                # n_quarantined from the quarantine dir's row count
+                # n_quarantined from the quarantine dir's row count.
+                # Applied AFTER the (cheap codegen) bad-row filter: the
+                # rolling-hash kernel then touches only the tiny bad
+                # subset, not every raw row a second time — the filters
+                # commute, so the quarantine set is identical
                 from ..operators.decontam import mark_contaminated
-                raw = (mark_contaminated(raw, decontam_eval, k=decontam_k)
+                bad = (mark_contaminated(bad, decontam_eval, k=decontam_k)
                        .where(~F.col("contaminated"))
                        .drop("contaminated"))
-            bad = with_quarantine_reason(raw).where(reason.isNotNull())
             # ONE raw scan: write unconditionally (deterministic per batch
             # — fixed WAL file set — so the overwrite stays idempotent
             # under replay), then drop the dir again if the batch was

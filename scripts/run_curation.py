@@ -138,17 +138,26 @@ def main() -> None:
             ~F.col("is_repetitive")).select(id_col)
         cur = cur.join(rep, id_col, "left_semi")
         note("repetition", cur)
-    # 4. line/paragraph dedup: within-doc first (repeated nav menus
-    # collapse to one copy, so the cross-doc counts see each doc vote
-    # once per line), then cross-document boilerplate removal
+    # 4. line/paragraph dedup.  In LINE mode, collapse within-doc
+    # repeats first (repeated nav menus keep one copy even when no other
+    # doc shares them; cross-doc distinct-doc counts are unaffected
+    # either way).  In PARAGRAPH mode the within-line pass is SKIPPED:
+    # rewriting lines inside a shared paragraph would make its hash
+    # diverge across docs and let boilerplate escape the min_docs
+    # threshold.
     if args.line_dedup:
-        cur = (line_dedup.dedup_lines_within(cur)
-               .select(id_col, F.col("text_dedup").alias("text")))
-        sep = dict(sep_pattern=r"\n{2,}", join_sep="\n\n") \
-            if args.paragraphs else {}
-        cur = (line_dedup.dedup_lines(cur, min_docs=args.line_min_docs,
-                                      **sep)
-               .select(id_col, F.col("text_dedup").alias("text")))
+        if args.paragraphs:
+            cur = (line_dedup.dedup_lines(cur,
+                                          min_docs=args.line_min_docs,
+                                          sep_pattern=r"\n{2,}",
+                                          join_sep="\n\n")
+                   .select(id_col, F.col("text_dedup").alias("text")))
+        else:
+            cur = (line_dedup.dedup_lines_within(cur)
+                   .select(id_col, F.col("text_dedup").alias("text")))
+            cur = (line_dedup.dedup_lines(cur,
+                                          min_docs=args.line_min_docs)
+                   .select(id_col, F.col("text_dedup").alias("text")))
         note("line_dedup", cur)
     # 5. exact dedup (after line dedup: boilerplate removal creates dups)
     if args.exact_dedup:
@@ -172,11 +181,12 @@ def main() -> None:
                             F.coalesce("source", F.lit("unknown")))
         else:
             mixed = cur.withColumn("source", F.lit("unknown"))
-        counts = {r["source"]: r["cnt"] for r in
-                  mixed.groupBy("source").agg(F.count("*").alias("cnt"))
-                  .collect()}
+        # NOT named `counts`: that is the stage-report dict above
+        src_counts = {r["source"]: r["cnt"] for r in
+                      mixed.groupBy("source")
+                      .agg(F.count("*").alias("cnt")).collect()}
         cur = sampling.temperature_mix(
-            mixed, counts, alpha=args.mix_alpha,
+            mixed, src_counts, alpha=args.mix_alpha,
             total_budget=args.mix_budget).drop("source")
         note("temperature_mix", cur)
     # 8. split / epoch order / write

@@ -165,11 +165,19 @@ def main() -> None:
             spark, args.input,
             max_files_per_trigger=args.max_files_per_trigger)
         if decontam_bc is not None:
-            # the gate must apply on this branch too, not silently no-op
+            # the gate must apply on this branch too, not silently no-op —
+            # and with the same observed drop count the single-pass
+            # pipeline surfaces, so rows never vanish unexplained
             from hidden_characters_detector_spark.operators.decontam import (
                 mark_contaminated)
-            tok = (mark_contaminated(tok, decontam_bc, k=args.decontam_k)
-                   .where(~F.col("contaminated")).drop("contaminated"))
+            marked = mark_contaminated(tok, decontam_bc,
+                                       k=args.decontam_k)
+            marked = marked.observe(
+                "decontam_metrics",
+                F.sum(F.col("contaminated").cast("long"))
+                .alias("n_contaminated"))
+            tok = (marked.where(~F.col("contaminated"))
+                   .drop("contaminated"))
         q = iceberg_sink(pipeline.clean_stream(tok, cfg), args.output,
                          os.path.join(args.checkpoint, "sink"),
                          trigger_available_now=args.available_now,

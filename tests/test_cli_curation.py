@@ -77,3 +77,24 @@ def test_cli_curation_end_to_end(spark, tmp_path):
     assert by_id[3]["shuffle_key"] is not None
     # partitioned layout on disk
     assert any(d.startswith("shard=") for d in os.listdir(out))
+
+    # --mix-alpha run: the stage report must keep EVERY stage count (a
+    # local-variable shadowing bug once replaced it with per-source
+    # counts) and the budget caps the written rows
+    out2 = str(tmp_path / "curated_mixed")
+    res2 = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "run_curation.py"),
+         "--input", src, "--output", out2, "--eval", evl,
+         "--master", "local[2]", "--mix-alpha", "0.5",
+         "--mix-budget", "4"],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=600)
+    assert res2.returncode == 0, res2.stderr[-4000:]
+    line2 = [ln for ln in res2.stdout.splitlines()
+             if ln.startswith("CURATION ")][0]
+    counts2 = json.loads(line2[len("CURATION "):])
+    for key in ("input", "quality_lang", "repetition", "line_dedup",
+                "exact_dedup", "decontaminate", "temperature_mix",
+                "written"):
+        assert key in counts2, counts2
+    assert counts2["input"] == 8
+    assert counts2["written"] == counts2["temperature_mix"] <= 6

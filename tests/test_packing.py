@@ -130,6 +130,16 @@ def test_padding_waste_hand_computed(spark):
     assert "partial_count" in plan       # map-side combine before the
     assert "Generate" not in plan        # tiny-group shuffle; no explode
 
+    # NULL length counts as the empty doc (no phantom kept tokens from
+    # null-skipping least(): truncation can never go negative)
+    nd = spark.createDataFrame([(None,), (10,)], "n_tok long")
+    rows = {r["bucket"]: r for r in packing.padding_waste(
+        nd, buckets=(64,)).collect()}
+    assert rows[64]["n_docs"] == 2
+    assert rows[64]["n_tokens"] == 10
+    assert rows[64]["n_tokens_truncated"] == 0
+    assert rows[64]["waste_frac"] == round(1 - 10 / 128, 6)
+
 
 def test_pack_summary_conserves_tokens(spark):
     docs = spark.range(0, 300).selectExpr(

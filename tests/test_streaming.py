@@ -1059,6 +1059,15 @@ def test_sink_scheme_guard_and_file_uri_normalization(spark, tmp_path):
         pipeline.single_pass_pipeline(
             spark, str(tmp_path / "in"), "hdfs://nn/out",
             str(tmp_path / "ck"))
+    # a colon WITHOUT '://' is not read as a scheme by OUR guard (it
+    # passes through; Hadoop's own Path parser rejects such paths with
+    # its own loud error, same as any Spark write) — but a file:// URI
+    # naming a remote host IS refused here, before any data lands
+    from hidden_characters_detector_spark.sinks.exactly_once import (
+        _posix_dir)
+    assert _posix_dir("out:colon/x") == "out:colon/x"
+    with pytest.raises(ValueError, match="remote host"):
+        write_batch_partition(df, 0, "file://otherhost/tmp/x")
 
 
 def test_source_wal_missing_entry_raises(spark, tmp_path):
