@@ -764,7 +764,8 @@ def q_minhash_near_dups(spark, sf_dir):
 
 
 def _o_minhash_near_dups(num_perm: int = 64, bands: int = 16,
-                         shingle_k: int = 5, threshold: float = 0.5):
+                         shingle_k: int = 5, threshold: float = 0.5,
+                         extra_pred: str = ""):
     import numpy as np
 
     from hidden_characters_detector_spark.operators.dedup import _M61
@@ -798,7 +799,7 @@ def _o_minhash_near_dups(num_perm: int = 64, bands: int = 16,
            round(({matches}) / {float(num_perm)}, 4) AS est_jaccard
     FROM sigs x JOIN sigs y ON x.doc_id < y.doc_id
     WHERE ({band_hit})
-      AND ({matches}) / {float(num_perm)} >= {threshold}"""
+      AND ({matches}) / {float(num_perm)} >= {threshold}{extra_pred}"""
 
 
 def q_simhash_near_dups(spark, sf_dir):
@@ -1870,6 +1871,150 @@ def _o_repetition():
     FROM j"""
 
 
+def q_dedup_representatives(spark, sf_dir):
+    """Quality-aware keeper election (``dedup.select_representatives``):
+    after near-dup grouping, each group keeps its HIGHEST-scoring member
+    (score here = text length, so the un-truncated original beats its
+    10-chars-shorter twin), ties broken by min id.  The corpus side joins
+    the (tiny) groups table via broadcast — plan-asserted in
+    tests/test_plans.py.  Oracle: the same recursive-CTE transitive
+    closure as ``dedup_groups`` plus the identical max-score/min-id
+    election arithmetic."""
+    from hidden_characters_detector_spark.operators import dedup
+    docs = _mutated_long_docs(spark, sf_dir)
+    groups = dedup.dedup_groups(docs, jaccard_threshold=0.85)
+    scored = docs.select(
+        "doc_id", F.length("text").cast("long").alias("score"))
+    return dedup.select_representatives(scored, groups, score_col="score")
+
+
+def _o_dedup_representatives():
+    return """
+    WITH RECURSIVE unioned AS MATERIALIZED (
+      SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id || '000000' AS doc_id, substr(text, 11) AS text
+      FROM documents WHERE length(text) >= 200),
+    sh AS MATERIALIZED (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, length(text) - 3),
+                 i -> hash(substr(text, CAST(i AS INTEGER), 5)))) AS s
+      FROM unioned),
+    p AS MATERIALIZED (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sh a JOIN sh b
+        ON a.doc_id < b.doc_id
+       AND least(len(a.s), len(b.s)) >= 0.85 * greatest(len(a.s), len(b.s))
+       AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+           / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+           >= 0.85),
+    edges AS MATERIALIZED (
+      SELECT doc_a AS src, doc_b AS dst FROM p
+      UNION
+      SELECT doc_b AS src, doc_a AS dst FROM p),
+    walk(node, reach) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, w.reach FROM edges e JOIN walk w ON e.dst = w.node),
+    comp AS (
+      SELECT node, min(reach) AS group_id FROM walk GROUP BY node),
+    sized AS (
+      SELECT group_id, CAST(count(*) AS BIGINT) AS group_size
+      FROM comp GROUP BY group_id),
+    m AS (
+      SELECT c.node AS did, c.group_id, s.group_size,
+             CAST(length(u.text) AS BIGINT) AS score
+      FROM comp c JOIN sized s USING (group_id)
+      JOIN unioned u ON u.doc_id = c.node),
+    best AS (SELECT group_id, max(score) AS keep_score
+             FROM m GROUP BY group_id)
+    SELECT m.group_id, min(m.did) AS keep_id, b.keep_score,
+           max(m.group_size) AS group_size
+    FROM m JOIN best b USING (group_id)
+    WHERE m.score IS NOT DISTINCT FROM b.keep_score
+    GROUP BY m.group_id, b.keep_score"""
+
+
+def q_incremental_dedup(spark, sf_dir):
+    """Ingest-batch near-dup probe against a stored signature index
+    (``dedup.incremental_near_dups``) — the 100 TB dedup steady state:
+    the batch's band rows broadcast against the index, which is never
+    reshuffled (plan-asserted).  Fixture: index = the corpus, batch = the
+    first-10-chars-dropped twins.  Oracle: the full-algorithm minhash SQL
+    (same seeded permutations/banding) restricted to pairs touching ≥1
+    batch doc — exactly the operator's contract."""
+    from hidden_characters_detector_spark.operators import dedup
+    docs = _table(spark, sf_dir, "documents").selectExpr(
+        "cast(doc_id as string) AS doc_id", "text")
+    new = docs.where(F.length("text") >= 15).selectExpr(
+        "concat(doc_id, '000000') AS doc_id", "substr(text, 11) AS text")
+    index = dedup.signature_index(docs)
+    return dedup.incremental_near_dups(new, index, jaccard_threshold=0.5)
+
+
+def _o_incremental_dedup():
+    return _o_minhash_near_dups(extra_pred=(
+        "\n      AND (x.doc_id LIKE '%000000' OR y.doc_id LIKE '%000000')"))
+
+
+def q_unigram_logprob(spark, sf_dir):
+    """CCNet-style unigram LM quality score
+    (``text_analysis.unigram_logprob``): per doc the mean bits/word under
+    the corpus' own top-100 word-unigram model (true corpus total as
+    denominator, OOV floored at 1/total), plus OOV stats.  The model
+    lookup is a broadcast join and the per-doc reduce the plan's only
+    wide shuffle (plan-asserted).  Cross-engine: per-word bits rounded to
+    6 decimals and summed as DECIMAL — exact, order-independent."""
+    from hidden_characters_detector_spark.operators import text_analysis
+    docs = _table(spark, sf_dir, "documents").selectExpr(
+        "cast(doc_id as string) AS doc_id", "text")
+    wc = text_analysis.word_counts(docs)
+    total = wc.agg(F.sum("cnt")).collect()[0][0] or 1
+    model = wc.orderBy(F.col("cnt").desc(), F.col("word").asc()).limit(100)
+    return text_analysis.unigram_logprob(docs, model, total_words=total)
+
+
+def _o_unigram_logprob():
+    return """
+    WITH docs AS (
+      SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents),
+    w AS (
+      SELECT doc_id, x AS word
+      FROM docs, unnest(list_filter(
+          regexp_split_to_array(lower(COALESCE(text, '')), '[^a-z0-9]+'),
+          x -> x <> '')) AS t(x)),
+    wc AS (SELECT word, CAST(count(*) AS BIGINT) AS cnt
+           FROM w GROUP BY word),
+    tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM wc),
+    model AS (SELECT word, cnt FROM wc
+              ORDER BY cnt DESC, word ASC LIMIT 100),
+    -- explode_outer analog: every doc keeps a row even with zero words
+    j AS (
+      SELECT d.doc_id, w.word, m.cnt
+      FROM docs d
+      LEFT JOIN w ON w.doc_id = d.doc_id
+      LEFT JOIN model m ON m.word = w.word),
+    pd AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN word IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_words,
+             CAST(sum(CASE WHEN word IS NOT NULL AND cnt IS NULL
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+             CAST(sum(CASE WHEN word IS NOT NULL THEN
+                 CAST(round(log2((SELECT total FROM tot))
+                            - log2(CAST(COALESCE(cnt, 1) AS DOUBLE)), 6)
+                      AS DECIMAL(18,6)) END) AS DOUBLE) AS sb
+      FROM j GROUP BY doc_id)
+    SELECT doc_id, n_words, n_oov,
+           CASE WHEN n_words > 0
+                THEN round(n_oov / CAST(n_words AS DOUBLE), 6)
+                ELSE 0.0 END AS oov_frac,
+           CASE WHEN n_words > 0
+                THEN round(sb / CAST(n_words AS DOUBLE), 6)
+                ELSE 0.0 END AS bits_per_word
+    FROM pd"""
+
+
 _EXTRA_QUERIES = {
     "line_dedup": q_line_dedup,
     "line_dedup_within": q_line_dedup_within,
@@ -1897,6 +2042,9 @@ _EXTRA_QUERIES = {
     "embedding_near_dups": q_embedding_near_dups,
     "verified_near_dups": q_verified_near_dups,
     "dedup_groups": q_dedup_groups,
+    "dedup_representatives": q_dedup_representatives,
+    "incremental_dedup": q_incremental_dedup,
+    "unigram_logprob": q_unigram_logprob,
     "fingerprints": q_fingerprints,
     "train_test_split": q_train_test_split,
     "epoch_shuffle": q_epoch_shuffle,
@@ -1929,6 +2077,9 @@ _EXTRA_ORACLES = {
     "embedding_near_dups": _o_embedding_near_dups,
     "verified_near_dups": _o_verified_near_dups,
     "dedup_groups": _o_dedup_groups,
+    "dedup_representatives": _o_dedup_representatives,
+    "incremental_dedup": _o_incremental_dedup,
+    "unigram_logprob": _o_unigram_logprob,
     "minhash_near_dups": _o_minhash_near_dups,
     "simhash_near_dups": _o_simhash_near_dups,
     "fingerprints": _o_fingerprints,

@@ -538,6 +538,166 @@ def connected_components(pairs: DataFrame, *, a_col: str = "doc_a",
     return cached
 
 
+def select_representatives(scored: DataFrame, groups: DataFrame, *,
+                           score_col: str,
+                           id_col: str = "doc_id",
+                           materialize: bool = False) -> DataFrame:
+    """Quality-aware keeper election: per near-dup group, keep the member
+    with the HIGHEST score (ties broken by MIN id — fully deterministic,
+    partitioning-independent).  The min-id ``is_canonical`` policy of
+    :func:`dedup_groups` is the right default when members are
+    interchangeable; a real curation pipeline keeps the *best* member
+    (longest, highest quality score, most recent crawl) — this operator is
+    that step.
+
+    ``scored``: ``(id_col, score_col)`` — must cover every grouped id with
+    a NON-NULL score (a member missing from ``scored`` silently loses the
+    election; an all-NULL-score group elects keep_score NULL via the
+    null-safe compare).  ``groups``: output of :func:`dedup_groups`
+    (``id_col, group_id, group_size``).
+
+    Returns ``(group_id, keep_id, keep_score, group_size)`` — one row per
+    group.
+
+    Scale shape: ``groups`` only contains grouped docs (a sliver of the
+    corpus), so it is BROADCAST against the full ``scored`` relation — the
+    big side never shuffles; both aggregations run on the grouped sliver
+    with map-side partial agg (a window/``row_number`` formulation would
+    instead single-task-sort each group, which a boilerplate mega-cluster
+    breaks).  Lazy by default: the max-score branch and the election
+    branch each evaluate the membership join, i.e. two passes over
+    ``scored``; pass ``materialize=True`` to persist the (tiny) member
+    sliver for one pass — the result is materialized eagerly and the
+    sliver cache released before returning, same contract as
+    ``minhash_lsh_pairs``.
+    """
+    members = (scored.select(id_col, score_col)
+               .join(F.broadcast(groups.select(id_col, "group_id",
+                                               "group_size")), id_col))
+    if materialize:
+        members = members.persist()
+    best = members.groupBy("group_id").agg(
+        F.max(score_col).alias("keep_score"))
+    out = (members.join(best, "group_id")
+           # eqNullSafe: an all-NULL-score group still elects (min id)
+           .where(F.col(score_col).eqNullSafe(F.col("keep_score")))
+           .groupBy("group_id")
+           .agg(F.min(id_col).alias("keep_id"),
+                F.max("keep_score").alias("keep_score"),
+                F.max("group_size").alias("group_size")))
+    if materialize:
+        out = out.persist()
+        out.count()
+        members.unpersist()
+    return out
+
+
+def drop_non_representatives(df: DataFrame, groups: DataFrame,
+                             reps: DataFrame, *,
+                             id_col: str = "doc_id") -> DataFrame:
+    """Apply a keeper election: drop every grouped doc that is not its
+    group's representative; ungrouped docs (the overwhelming majority)
+    pass through untouched.  ``groups``/``reps`` as produced by
+    :func:`dedup_groups` / :func:`select_representatives`.
+
+    The loser list is group-members minus keepers — small by construction
+    — so the apply step is one BROADCAST anti-join: the corpus-side
+    relation never shuffles.
+    """
+    losers = (groups.select(id_col, "group_id")
+              .join(reps.select("group_id", "keep_id"), "group_id")
+              .where(F.col(id_col) != F.col("keep_id"))
+              .select(id_col))
+    return df.join(F.broadcast(losers), id_col, "left_anti")
+
+
+def signature_index(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text", *, num_perm: int = 64,
+                    seed: int = 42) -> DataFrame:
+    """The persistable MinHash signature index: ``(id_col, minhash)`` for
+    every doc with at least one shingle (empty-signature docs carry no
+    similarity signal and are excluded, mirroring ``_lsh_candidates``).
+    At production scale this is written out once as its own table and
+    incrementally appended per ingest batch; each batch then probes it via
+    :func:`incremental_near_dups` instead of re-running LSH over the whole
+    corpus."""
+    sig = minhash_signatures(df.select(id_col, text_col), text_col,
+                             num_perm=num_perm, seed=seed) \
+        .select(id_col, "minhash")
+    return sig.where(F.element_at("minhash", 1) != F.lit(-1))
+
+
+def _band_hashes(sig: DataFrame, id_col: str, *, num_perm: int,
+                 bands: int) -> DataFrame:
+    """Explode a signature table to ``(id, band, band_hash)`` rows — the
+    banded-LSH bucket keys (same banding expression as
+    ``_lsh_candidates``)."""
+    rows_per_band = num_perm // bands
+    return sig.select(
+        id_col,
+        F.posexplode(F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda i: F.hash(F.slice(
+                "minhash", i * rows_per_band + 1, rows_per_band))
+        )).alias("band", "band_hash"))
+
+
+def incremental_near_dups(new_df: DataFrame, index_sig: DataFrame, *,
+                          id_col: str = "doc_id", text_col: str = "text",
+                          num_perm: int = 64, bands: int = 16,
+                          jaccard_threshold: float = 0.7,
+                          seed: int = 42) -> DataFrame:
+    """Near-dup pairs of an INGEST BATCH against an existing corpus index
+    (plus batch-internal pairs) — the 100 TB dedup steady state: after the
+    corpus is first deduplicated, each new batch must NOT re-run LSH over
+    all N docs; it probes the stored signature index
+    (:func:`signature_index`) with only its own signatures.
+
+    Semantics: exactly ``minhash_lsh_pairs(index_docs ∪ new_docs)``
+    restricted to pairs touching ≥1 new doc (asserted by the equivalence
+    pytest).  Returns ``(doc_a, doc_b, est_jaccard)``, ``doc_a < doc_b``.
+    New ids must be disjoint from index ids (run the ingestion dedup gate
+    first); a duplicated id would pair with itself at est 1.0.
+
+    Scale shape: the batch's band rows are BROADCAST against the index's
+    band rows, so the index side is a pure scan — no index shuffle, cost
+    per batch is O(batch + matching buckets), independent of corpus size.
+    The est-Jaccard re-attach joins only the (tiny) candidate pairs back
+    to the two signature tables.
+    """
+    new_sig = signature_index(new_df, id_col, text_col,
+                              num_perm=num_perm, seed=seed)
+    all_sig = index_sig.select(id_col, "minhash").unionByName(new_sig)
+    new_bands = _band_hashes(new_sig, id_col, num_perm=num_perm,
+                             bands=bands)
+    all_bands = _band_hashes(all_sig, id_col, num_perm=num_perm,
+                             bands=bands)
+    n = new_bands.alias("n")
+    a = all_bands.alias("a")
+    cand = (a.join(F.broadcast(n),
+                   (F.col("a.band") == F.col("n.band"))
+                   & (F.col("a.band_hash") == F.col("n.band_hash"))
+                   & (F.col(f"a.{id_col}") != F.col(f"n.{id_col}")))
+            .select(F.least(F.col(f"a.{id_col}"), F.col(f"n.{id_col}"))
+                    .alias("doc_a"),
+                    F.greatest(F.col(f"a.{id_col}"), F.col(f"n.{id_col}"))
+                    .alias("doc_b"))
+            .dropDuplicates(["doc_a", "doc_b"]))
+    sa = all_sig.select(F.col(id_col).alias("doc_a"),
+                        F.col("minhash").alias("mh_a"))
+    sb = all_sig.select(F.col(id_col).alias("doc_b"),
+                        F.col("minhash").alias("mh_b"))
+    est = (F.size(F.filter(F.zip_with("mh_a", "mh_b",
+                                      lambda x, y: x == y),
+                           lambda z: z))
+           / F.lit(float(num_perm)))
+    return (cand.join(sa, "doc_a").join(sb, "doc_b")
+            .withColumn("est_jaccard", est)
+            .where(F.col("est_jaccard") >= jaccard_threshold)
+            .select("doc_a", "doc_b",
+                    F.round("est_jaccard", 4).alias("est_jaccard")))
+
+
 def dedup_groups(df: DataFrame, id_col: str = "doc_id",
                  text_col: str = "text", *, shingle_k: int = 5,
                  jaccard_threshold: float = 0.85,

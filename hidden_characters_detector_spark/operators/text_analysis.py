@@ -202,6 +202,94 @@ def vocab_stats(df: DataFrame, tokens_col: str = "tokens") -> DataFrame:
         .alias("unigram_entropy_bits"))
 
 
+def word_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus word-unigram counts ``(word, cnt)`` — lowercase ``[a-z0-9]+``
+    runs, the same word definition :func:`repetition_scores` uses.  NULL
+    text counts as empty.  Scale shape: explode + one ``groupBy(word)``
+    with map-side partial agg, so the shuffle carries one row per distinct
+    word per map partition (Zipf makes the head collapse almost entirely
+    map-side)."""
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    words = F.filter(F.split(F.lower(c), r"[^a-z0-9]+"),
+                     lambda w: w != "")
+    return (df.select(F.explode(words).alias("word"))
+            .groupBy("word").agg(F.count("*").cast("long").alias("cnt")))
+
+
+def unigram_logprob(df: DataFrame, model: DataFrame, *,
+                    total_words: int | None = None,
+                    text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """CCNet-style unigram language-model quality score (Wenzek et al.
+    2020 filter by LM perplexity; the unigram variant is the zero-dependency
+    floor of that family): per document, the mean information content in
+    bits of its words under a unigram model —
+    ``bits_per_word = mean(-log2 p(w))`` with ``p(w) = cnt / total_words``
+    for in-vocabulary words and the floor ``1 / total_words`` for
+    out-of-vocabulary words.  Low bits ⇒ stereotypical text, high bits ⇒
+    rare-word-heavy (both tails are what perplexity-based curation cuts).
+
+    ``model``: ``(word, cnt)`` rows — typically the top-k of
+    :func:`word_counts` over a reference corpus.  ``total_words``: the
+    reference corpus' TOTAL word count (denominator), defaulting to the
+    model's own mass — correct only when the model is un-truncated; pass
+    the true total when the model is a top-k head.
+
+    Output per input row: ``(id_col, n_words, n_oov, oov_frac,
+    bits_per_word)``; an empty/NULL doc scores ``0, 0, 0.0, 0.0``.
+
+    Scale shape: the model is a vocabulary head (≤ millions of rows) —
+    BROADCAST joined against the exploded words, so the corpus side never
+    shuffles for the lookup; the per-doc reduce is a ``groupBy(id_col)``
+    whose partial agg collapses each doc's words map-side (a doc's
+    exploded rows are partition-local by construction), making the
+    doc-keyed exchange the plan's ONLY wide shuffle — empty docs ride
+    through it as ``explode_outer`` sentinel rows rather than via a
+    spine join (which would cost a second doc_id shuffle).  ``df`` ids
+    are assumed unique (duplicate ids would merge their word streams).
+
+    Cross-engine determinism: each word's bits value is rounded to 6
+    decimals and summed as DECIMAL — exact and accumulation-order
+    independent, and since bits is a function of ``cnt`` alone there are
+    at most ``|model|+1`` DISTINCT per-word values whose last-ulp
+    ``log2`` disagreement could straddle a rounding boundary (odds
+    ~1e-6 corpus-wide, vs per-row float sums whose order-dependent error
+    compounds with every doc).
+    """
+    if total_words is None:
+        total_words = model.agg(F.sum("cnt")).collect()[0][0] or 1
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    words = F.filter(F.split(F.lower(c), r"[^a-z0-9]+"),
+                     lambda w: w != "")
+    # explode_OUTER: an empty/NULL doc emits one NULL-word row, so it
+    # survives the aggregation without a spine join back (a left-join
+    # spine would cost a SECOND doc_id shuffle; measured in the plan)
+    exploded = df.select(id_col, F.explode_outer(words).alias("word"))
+    joined = exploded.join(F.broadcast(model.select("word", "cnt")),
+                           "word", "left")
+    # bits = -log2(cnt/total) = log2(total) - log2(cnt); OOV ⇒ cnt=1 floor
+    bits = (F.log2(F.lit(float(total_words)))
+            - F.log2(F.coalesce(F.col("cnt"), F.lit(1)).cast("double")))
+    is_word = F.col("word").isNotNull()
+    per_doc = (joined.groupBy(id_col).agg(
+        F.sum(is_word.cast("long")).alias("n_words"),
+        F.sum((is_word & F.col("cnt").isNull()).cast("long"))
+        .alias("n_oov"),
+        F.sum(F.when(is_word, F.round(bits, 6).cast("decimal(18,6)")))
+        .cast("double").alias("_sum_bits")))
+    nw = F.col("n_words").cast("double")
+    return per_doc.select(
+        id_col, "n_words", "n_oov",
+        # explicit n_words>0 guard: ANSI mode makes x/0 an ERROR, and
+        # empty docs genuinely occur
+        F.when(F.col("n_words") > 0,
+               F.round(F.col("n_oov") / nw, 6))
+        .otherwise(0.0).alias("oov_frac"),
+        F.when(F.col("n_words") > 0,
+               F.round(F.col("_sum_bits") / nw, 6))
+        .otherwise(0.0).alias("bits_per_word"))
+
+
 def repetition_scores(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", *,
                       max_dup_line_frac: float = 0.30,

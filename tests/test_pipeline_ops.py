@@ -716,3 +716,101 @@ def test_split_quarantine_operator(spark):
     # bad rows carry the original payload verbatim
     bn = [r for r in bad.collect() if r["doc_id"] == "bn"][0]
     assert bn["tokens"] == [1, 2, 3] and bn["n_tok"] == 9
+
+
+def test_select_representatives_and_apply(spark):
+    """Quality-aware keeper election: per group argmax score, min-id
+    tiebreak, NULL scores lose to any value (all-NULL group still elects
+    min id via the null-safe compare); apply drops grouped losers only."""
+    groups = spark.createDataFrame(
+        [("a1", "a1", 3), ("a2", "a1", 3), ("a3", "a1", 3),
+         ("b1", "b1", 2), ("b2", "b1", 2)],
+        "doc_id string, group_id string, group_size long")
+    scored = spark.createDataFrame(
+        [("a1", 10), ("a2", 30), ("a3", 30), ("b1", 5), ("b2", None),
+         ("z9", 99)],                       # z9 ungrouped: no election row
+        "doc_id string, score int")
+    reps_df = dedup.select_representatives(scored, groups,
+                                           score_col="score")
+    reps = {r["group_id"]: r for r in reps_df.collect()}
+    assert set(reps) == {"a1", "b1"}
+    assert reps["a1"]["keep_id"] == "a2"            # tie 30/30 -> min id
+    assert reps["a1"]["keep_score"] == 30
+    assert reps["a1"]["group_size"] == 3
+    assert reps["b1"]["keep_id"] == "b1"            # NULL loses to 5
+    # all-NULL-score group: min id elected, keep_score NULL
+    g2 = spark.createDataFrame(
+        [("c1", "c1", 2), ("c2", "c1", 2)],
+        "doc_id string, group_id string, group_size long")
+    s2 = spark.createDataFrame([("c1", None), ("c2", None)],
+                               "doc_id string, score int")
+    r2 = dedup.select_representatives(s2, g2, score_col="score").collect()
+    assert len(r2) == 1
+    assert r2[0]["keep_id"] == "c1" and r2[0]["keep_score"] is None
+    # apply: grouped losers dropped, winners + ungrouped pass through
+    survivors = {r["doc_id"] for r in dedup.drop_non_representatives(
+        scored.select("doc_id"), groups, reps_df).collect()}
+    assert survivors == {"a2", "b1", "z9"}
+
+
+def test_incremental_near_dups_equals_full_restricted(spark):
+    """Batch-vs-index probe == full-corpus LSH restricted to pairs that
+    touch >=1 new doc; index-internal pairs are NOT re-emitted."""
+    long_a = "the quick brown fox jumps over the lazy dog again and again"
+    index_docs = spark.createDataFrame(
+        [("o1", long_a),
+         ("o2", "completely different content about spark and arrow"),
+         ("o3", long_a.replace("jumps", "jumped"))],
+        "doc_id string, text string")
+    new_docs = spark.createDataFrame(
+        [("n1", long_a),
+         ("n2", long_a + " with an extra tail"),
+         ("n3", "der schnelle braune fuchs springt und ist nicht mit")],
+        "doc_id string, text string")
+    idx = dedup.signature_index(index_docs)
+    inc = {(r["doc_a"], r["doc_b"]): r["est_jaccard"] for r in
+           dedup.incremental_near_dups(new_docs, idx,
+                                       jaccard_threshold=0.5).collect()}
+    full = {(r["doc_a"], r["doc_b"]): r["est_jaccard"] for r in
+            dedup.minhash_lsh_pairs(index_docs.unionByName(new_docs),
+                                    jaccard_threshold=0.5).collect()}
+    new_ids = {"n1", "n2", "n3"}
+    expect = {p: v for p, v in full.items()
+              if p[0] in new_ids or p[1] in new_ids}
+    assert inc == expect
+    assert ("n1", "o1") in inc                     # cross pair non-vacuous
+    old = {"o1", "o2", "o3"}
+    assert not any(a in old and b in old for a, b in inc)
+
+
+def test_unigram_logprob_hand_computed(spark):
+    """Unigram LM scoring: bits = log2(total) - log2(cnt), OOV floor
+    cnt=1, per-word 6-decimal rounding summed exactly; empty/NULL docs
+    score zeros."""
+    import math
+
+    docs = spark.createDataFrame(
+        [("d1", "aa bb aa"), ("d2", "aa, zz!"), ("d3", ""), ("d4", None)],
+        "doc_id string, text string")
+    model = spark.createDataFrame([("aa", 3), ("bb", 1)],
+                                  "word string, cnt long")
+    out = {r["doc_id"]: r for r in text_analysis.unigram_logprob(
+        docs, model, total_words=4).collect()}
+    b_aa = round(math.log2(4) - math.log2(3), 6)
+    b_1 = round(math.log2(4) - math.log2(1), 6)     # bb and OOV
+    assert out["d1"]["n_words"] == 3 and out["d1"]["n_oov"] == 0
+    assert out["d1"]["bits_per_word"] == pytest.approx(
+        round((2 * b_aa + b_1) / 3, 6), abs=2e-6)
+    assert out["d2"]["n_words"] == 2 and out["d2"]["n_oov"] == 1
+    assert out["d2"]["oov_frac"] == 0.5
+    assert out["d2"]["bits_per_word"] == pytest.approx(
+        round((b_aa + b_1) / 2, 6), abs=2e-6)
+    for d in ("d3", "d4"):
+        assert out[d]["n_words"] == 0 and out[d]["n_oov"] == 0
+        assert out[d]["oov_frac"] == 0.0
+        assert out[d]["bits_per_word"] == 0.0
+    # default total = model mass (documented un-truncated-model case)
+    assert len(text_analysis.unigram_logprob(docs, model).collect()) == 4
+    wc = {r["word"]: r["cnt"] for r in
+          text_analysis.word_counts(docs).collect()}
+    assert wc == {"aa": 3, "bb": 1, "zz": 1}

@@ -260,3 +260,81 @@ def test_quarantine_reason_is_pure_codegen_projection(spark):
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
     assert plan.lstrip().startswith("*(")   # whole-stage codegen stage
+
+
+def test_select_representatives_corpus_side_is_broadcast_probe(spark):
+    """Keeper election: the corpus-side scored relation joins the (tiny)
+    groups table via BROADCAST — the big side never shuffles for
+    membership; every Exchange operates on the grouped sliver.  No window
+    formulation (a mega-cluster would single-task sort)."""
+    from pyspark.sql import functions as F
+
+    from hidden_characters_detector_spark.operators import dedup
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").selectExpr(
+        "cast(doc_id as string) doc_id", "text")
+    scored = docs.select(
+        "doc_id", F.length("text").cast("long").alias("score"))
+    groups = spark.createDataFrame(
+        [("1", "1", 2), ("2", "1", 2)],
+        "doc_id string, group_id string, group_size long")
+    plan = _plan(dedup.select_representatives(scored, groups,
+                                              score_col="score"))
+    assert "BroadcastHashJoin" in plan
+    assert "Cartesian" not in plan
+    assert "Window" not in plan
+    # partial agg before both sliver shuffles (scale under giant groups)
+    assert "partial_max" in plan
+    # the corpus parquet scan feeds a broadcast join, never an Exchange:
+    # no exchange keyed on the corpus id column
+    exchange_lines = [ln for ln in plan.splitlines() if "Exchange" in ln]
+    assert all("hashpartitioning(doc_id" not in ln
+               for ln in exchange_lines)
+
+
+def test_incremental_dedup_index_side_never_shuffles(spark):
+    """Batch-vs-index LSH probe: the batch's band rows are BROADCAST, so
+    the index side is a pure scan — no SortMergeJoin, no Cartesian, and
+    no Exchange carrying the 64-value signature array (same discipline as
+    the full LSH band join)."""
+    from pyspark.sql import functions as F
+
+    from hidden_characters_detector_spark.operators import dedup
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").selectExpr(
+        "cast(doc_id as string) doc_id", "text")
+    new = docs.where(F.length("text") >= 15).selectExpr(
+        "concat(doc_id, '000000') doc_id", "substr(text, 11) text")
+    idx = dedup.signature_index(docs)
+    plan = _plan(dedup.incremental_near_dups(new, idx,
+                                             jaccard_threshold=0.5))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Cartesian" not in plan
+    shuffle_lines = [ln for ln in plan.splitlines()
+                     if "Exchange hashpartitioning" in ln]
+    # the only real shuffle is the candidate-pair dedup
+    assert all("doc_a" in ln for ln in shuffle_lines)
+    assert all("minhash" not in ln for ln in shuffle_lines)
+
+
+def test_unigram_logprob_model_broadcast_partial_agg(spark):
+    """Unigram LM scoring: the model lookup is a BROADCAST join against
+    the exploded words (the corpus side never shuffles for the lookup),
+    and the per-doc reduce partial-aggregates map-side before the one
+    doc-keyed shuffle."""
+    from pyspark.sql import functions as F
+
+    from hidden_characters_detector_spark.operators import text_analysis
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").selectExpr(
+        "cast(doc_id as string) doc_id", "text")
+    model = spark.createDataFrame([("the", 100), ("and", 50)],
+                                  "word string, cnt long")
+    plan = _plan(text_analysis.unigram_logprob(docs, model,
+                                               total_words=1000))
+    assert "BroadcastHashJoin" in plan
+    assert "partial_sum" in plan
+    assert "Cartesian" not in plan
+    assert "SortMergeJoin" not in plan      # no spine join back
+    # exactly one exchange keyed on doc_id (the per-doc reduce)
+    doc_exchanges = [ln for ln in plan.splitlines()
+                     if "Exchange hashpartitioning(doc_id" in ln]
+    assert len(doc_exchanges) == 1
