@@ -16,8 +16,16 @@ Stages, in curation order (each independently switchable):
  2. quality + language     — heuristic score >= --quality-min, language
                              in --lang (skip with --quality-min 0)
  3. repetition filter      — Gopher repetition signals, drop is_repetitive
+ 3b. unigram-LM band-pass  — mean bits/word under the corpus' own top-k
+                             unigram model within [--bits-min, --bits-max]
+                             (CCNet-style: both tails cut; at production
+                             scale score against a precomputed reference
+                             model instead of re-deriving per run)
  4. line dedup             — cross-document boilerplate removal (C4)
  5. exact dedup            — min-id keeper per content hash
+ 5b. near-dup dedup        — LSH → verify → groups (--near-dedup), keep
+                             the LONGEST member per group (keeper
+                             election; --near-threshold)
  6. decontamination        — drop docs sharing char k-grams with --eval
  7. temperature mixing     — n^alpha source rebalance (--mix-alpha,
                              --mix-budget)
@@ -76,6 +84,17 @@ def main() -> None:
                     help="target kept-document budget for --mix-alpha")
     ap.add_argument("--exact-dedup", default=True,
                     action=argparse.BooleanOptionalAction)
+    ap.add_argument("--near-dedup", action="store_true",
+                    help="near-dup grouping (LSH->verify->CC) with "
+                         "longest-member keeper election")
+    ap.add_argument("--near-threshold", type=float, default=0.85)
+    ap.add_argument("--bits-min", type=float, default=None,
+                    help="drop docs below this mean bits/word under the "
+                         "corpus unigram model")
+    ap.add_argument("--bits-max", type=float, default=None,
+                    help="drop docs above this mean bits/word")
+    ap.add_argument("--vocab-k", type=int, default=50000,
+                    help="unigram-model vocabulary size for --bits-*")
     ap.add_argument("--decontam-k", type=int, default=20)
     ap.add_argument("--decontam-min-hits", type=int, default=1)
     ap.add_argument("--train-frac", type=float, default=None,
@@ -97,6 +116,11 @@ def main() -> None:
          .config("spark.sql.session.timeZone", "UTC")
          .config("spark.python.worker.reuse", "true")
          .config("spark.sql.adaptive.enabled", "true")
+         # chained self-referencing stages compound the logical plan;
+         # AQE renders the plan string on every update, and an unbounded
+         # render OOMed the driver before any task ran — cap it (1 MB is
+         # far beyond human-readable already)
+         .config("spark.sql.maxPlanStringLength", str(1 << 20))
          .config("spark.sql.shuffle.partitions",
                  os.environ.get("SPARK_GRAFT_SHUFFLE", "64")))
     if args.master:
@@ -138,6 +162,29 @@ def main() -> None:
             ~F.col("is_repetitive")).select(id_col)
         cur = cur.join(rep, id_col, "left_semi")
         note("repetition", cur)
+    # 3b. unigram-LM band-pass: mean bits/word under the surviving
+    # corpus' own top-k model (self-referential model keeps the CLI
+    # dependency-free; production scores against a fixed reference model)
+    if args.bits_min is not None or args.bits_max is not None:
+        wc = text_analysis.word_counts(cur)
+        total = wc.agg(F.sum("cnt")).collect()[0][0] or 1
+        model = (wc.orderBy(F.col("cnt").desc(), F.col("word").asc())
+                 .limit(args.vocab_k))
+        sc = text_analysis.unigram_logprob(cur, model, total_words=total)
+        lo = args.bits_min if args.bits_min is not None else float("-inf")
+        hi = args.bits_max if args.bits_max is not None else float("inf")
+        keep = (sc.where(F.col("bits_per_word").between(lo, hi))
+                .select(id_col))
+        cur = cur.join(keep, id_col, "left_semi")
+        # truncate lineage: this stage references the corpus three times
+        # (model counts, total, scores); left in the logical plan that
+        # multiplies into EVERY downstream stage's plan — the compounded
+        # tree gets exponentially large (measured: AQE's explain-string
+        # alone OOMed).  localCheckpoint materializes the sliver and
+        # resets the plan.  (Cluster caveat: blocks are executor-local;
+        # prefer a reliable checkpoint dir under executor churn.)
+        cur = cur.localCheckpoint()
+        note("unigram_lm", cur)
     # 4. line/paragraph dedup.  In LINE mode, collapse within-doc
     # repeats first (repeated nav menus keep one copy even when no other
     # doc shares them; cross-doc distinct-doc counts are unaffected
@@ -164,6 +211,27 @@ def main() -> None:
         keep = dedup.exact_dedup(cur).select(id_col)
         cur = cur.join(keep, id_col, "left_semi")
         note("exact_dedup", cur)
+    # 5b. near-dup dedup with LONGEST-member keeper election (content-
+    # preserving policy: the un-truncated variant survives).  The two
+    # persisted handles (groups from dedup_groups, reps materialized)
+    # are released after the final write
+    release = []
+    if args.near_dedup:
+        # pin the surviving corpus AND truncate lineage first: the
+        # LSH->verify->CC pipeline evaluates its input several times
+        # (band branch + two text re-attach branches + CC rounds);
+        # without the cut each evaluation re-runs — and each re-plan
+        # re-inlines — the whole upstream curation chain
+        cur = cur.localCheckpoint()
+        groups = dedup.dedup_groups(
+            cur, jaccard_threshold=args.near_threshold)
+        scored = cur.select(
+            id_col, F.length("text").cast("long").alias("_score"))
+        reps = dedup.select_representatives(
+            scored, groups, score_col="_score", materialize=True)
+        cur = dedup.drop_non_representatives(cur, groups, reps)
+        release += [groups, reps]
+        note("near_dedup", cur)
     # 6. decontamination
     if args.eval:
         evl = spark.read.parquet(args.eval).select(id_col, "text")
@@ -204,6 +272,8 @@ def main() -> None:
         w = w.partitionBy(*partition_cols)
     w.parquet(args.output)
 
+    for h in release:
+        h.unpersist()
     final = spark.read.parquet(args.output).count()
     counts["written"] = final
     print("CURATION " + json.dumps(counts))

@@ -78,23 +78,38 @@ def test_cli_curation_end_to_end(spark, tmp_path):
     # partitioned layout on disk
     assert any(d.startswith("shard=") for d in os.listdir(out))
 
-    # --mix-alpha run: the stage report must keep EVERY stage count (a
-    # local-variable shadowing bug once replaced it with per-source
-    # counts) and the budget caps the written rows
+    # second run: --mix-alpha + --near-dedup + unigram band-pass.  The
+    # stage report must keep EVERY stage count (a local-variable
+    # shadowing bug once replaced it with per-source counts), the
+    # near-dup twin of doc 3 forms a group whose LONGER member wins the
+    # election (exactly one of {3, twin} survives), the wide bits band
+    # drops nothing, and the budget caps the written rows
+    src2 = str(tmp_path / "docs2")
+    # near-dup twin of doc 3: one extra SHORT line (appending to the
+    # footer line would exempt it from cross-doc line dedup and push the
+    # post-dedup Jaccard below the 0.85 verify threshold)
+    rows2 = rows + [(8, _doc(3) + "\ntail9")]  # J ~0.94 after line dedup
+    spark.createDataFrame(rows2, "doc_id long, text string") \
+        .write.parquet(src2)
     out2 = str(tmp_path / "curated_mixed")
     res2 = subprocess.run(
         [sys.executable, os.path.join(REPO, "scripts", "run_curation.py"),
-         "--input", src, "--output", out2, "--eval", evl,
+         "--input", src2, "--output", out2, "--eval", evl,
          "--master", "local[2]", "--mix-alpha", "0.5",
-         "--mix-budget", "4"],
-        cwd=REPO, env=env, capture_output=True, text=True, timeout=600)
+         "--mix-budget", "4", "--near-dedup",
+         "--bits-min", "1", "--bits-max", "30"],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=900)
     assert res2.returncode == 0, res2.stderr[-4000:]
     line2 = [ln for ln in res2.stdout.splitlines()
              if ln.startswith("CURATION ")][0]
     counts2 = json.loads(line2[len("CURATION "):])
-    for key in ("input", "quality_lang", "repetition", "line_dedup",
-                "exact_dedup", "decontaminate", "temperature_mix",
-                "written"):
+    for key in ("input", "quality_lang", "repetition", "unigram_lm",
+                "line_dedup", "exact_dedup", "near_dedup", "decontaminate",
+                "temperature_mix", "written"):
         assert key in counts2, counts2
-    assert counts2["input"] == 8
+    assert counts2["input"] == 9
+    assert counts2["unigram_lm"] == 9          # wide band drops nothing
+    assert counts2["exact_dedup"] == 8         # doc-6 clone dropped
+    assert counts2["near_dedup"] == 7          # one of {3, twin} dropped
+    assert counts2["decontaminate"] == 6       # leaked doc 5 dropped
     assert counts2["written"] == counts2["temperature_mix"] <= 6
