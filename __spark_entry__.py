@@ -1791,6 +1791,132 @@ def _o_decontaminate(k: int = 20):
     GROUP BY doc_id"""
 
 
+def _substr_fixture(spark, sf_dir):
+    """documents ∪ long-suffix twins: each doc ≥80 chars reappears under
+    ``doc_id || 'S'`` with its first 20 chars dropped, so the corpus
+    carries guaranteed ≥60-char exact duplicated substrings (plus
+    whatever natural template repeats it already has — the oracle
+    replicates the algorithm, so both agree by construction)."""
+    docs = _table(spark, sf_dir, "documents").selectExpr(
+        "cast(doc_id as string) AS doc_id", "text")
+    twins = docs.where(F.length("text") >= 80).selectExpr(
+        "concat(doc_id, 'S') AS doc_id", "substr(text, 21) AS text")
+    return docs.unionByName(twins)
+
+
+_SUBSTR_FIXTURE_SQL = """
+      SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents
+      UNION ALL
+      SELECT CAST(doc_id AS VARCHAR) || 'S' AS doc_id,
+             substr(text, 21) AS text
+      FROM documents WHERE length(text) >= 80"""
+
+
+def _o_substr_spans_cte(k: int = 40) -> str:
+    """Shared oracle CTE chain ending in ``spans(doc_id, span_start,
+    span_end)`` — replicates :mod:`operators.substr_dedup` verbatim: the
+    same Horner/2^64 rolling hash per k-gram start (``list_reduce`` over
+    HUGEINT codepoints — acc*B < 2^104 fits), the same
+    first-occurrence-in-(doc,pos)-order mark rule (``row_number() >= 2``
+    over the hash), the same gaps-and-islands merge of ``[pos, pos+k)``
+    covers.  Binary string collation orders doc_id identically in both
+    engines."""
+    return f"""
+    WITH u AS ({_SUBSTR_FIXTURE_SQL}),
+    cl AS (
+      SELECT doc_id, text,
+             list_transform(string_split(text, ''),
+                            c -> CAST(unicode(c) AS HUGEINT)) AS cpl
+      FROM u),
+    hs AS (
+      SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+             list_reduce(
+               list_slice(cpl, CAST(i AS INTEGER),
+                          CAST(i + {k - 1} AS INTEGER)),
+               (a, b) -> (a * {_HB} + b) % {_M64}) AS h
+      FROM cl, unnest(range(1, len(cpl) - {k - 2})) AS t(i)),
+    mk AS (
+      SELECT doc_id, pos FROM (
+        SELECT doc_id, pos,
+               row_number() OVER (PARTITION BY h
+                                  ORDER BY doc_id, pos) AS rn
+        FROM hs) WHERE rn >= 2),
+    isl AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos > coalesce(max(pos + {k}) OVER w, -1)
+                  THEN 1 ELSE 0 END AS new_isl
+      FROM mk
+      WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+    g AS (
+      SELECT doc_id, pos,
+             sum(new_isl) OVER (PARTITION BY doc_id ORDER BY pos
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS grp
+      FROM isl),
+    spans AS (
+      SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+             CAST(max(pos) + {k} AS BIGINT) AS span_end
+      FROM g GROUP BY doc_id, grp)"""
+
+
+def q_dup_spans(spark, sf_dir):
+    """Exact-substring duplicate spans (``operators.substr_dedup``, the
+    ExactSubstr family of Lee et al. 2022): maximal spans of every char
+    belonging to a repeated ≥40-char substring whose occurrence is not
+    the corpus-order first.  Fixture plants long-suffix twins
+    (:func:`_substr_fixture`).  The oracle replicates the rolling hash,
+    the first-occurrence rule, and the island merge value-for-value."""
+    from hidden_characters_detector_spark.operators import substr_dedup
+    return substr_dedup.duplicated_spans(_substr_fixture(spark, sf_dir),
+                                         k=40)
+
+
+def _o_dup_spans(k: int = 40):
+    return f"""{_o_substr_spans_cte(k)}
+    SELECT doc_id, span_start, span_end FROM spans"""
+
+
+def q_substring_dedup(spark, sf_dir):
+    """The cut applied: each document rebuilt with its duplicated spans
+    removed (first occurrences kept — a planted twin collapses to empty,
+    its parent survives verbatim).  The oracle rebuilds from the
+    complement intervals with ordered ``string_agg``."""
+    from hidden_characters_detector_spark.operators import substr_dedup
+    u = _substr_fixture(spark, sf_dir)
+    return substr_dedup.remove_duplicated_spans(u, k=40).select(
+        "doc_id", "text_dedup")
+
+
+def _o_substring_dedup(k: int = 40):
+    return f"""{_o_substr_spans_cte(k)},
+    sp2 AS (
+      SELECT doc_id, span_start,
+             coalesce(lag(span_end) OVER (PARTITION BY doc_id
+                                          ORDER BY span_start),
+                      0) AS prev_end
+      FROM spans),
+    tails AS (SELECT doc_id, max(span_end) AS s FROM spans
+              GROUP BY doc_id),
+    pieces AS (
+      SELECT doc_id, prev_end AS s, span_start AS e FROM sp2
+      UNION ALL
+      SELECT t.doc_id, t.s, CAST(length(uu.text) AS BIGINT) AS e
+      FROM tails t JOIN u uu USING (doc_id)),
+    reb AS (
+      SELECT p.doc_id,
+             string_agg(substr(uu.text, CAST(p.s + 1 AS INTEGER),
+                               CAST(p.e - p.s AS INTEGER)),
+                        '' ORDER BY p.s) AS td
+      FROM pieces p JOIN u uu USING (doc_id)
+      WHERE p.e > p.s GROUP BY p.doc_id)
+    SELECT u.doc_id,
+           CASE WHEN u.doc_id IN (SELECT doc_id FROM spans)
+                THEN coalesce(r.td, '')
+                ELSE coalesce(u.text, '') END AS text_dedup
+    FROM u LEFT JOIN reb r USING (doc_id)"""
+
+
 def q_repetition(spark, sf_dir):
     """Gopher-style repetition quality signals
     (``operators.text_analysis.repetition_scores``) over the multiline
@@ -2018,6 +2144,8 @@ def _o_unigram_logprob():
 _EXTRA_QUERIES = {
     "line_dedup": q_line_dedup,
     "line_dedup_within": q_line_dedup_within,
+    "dup_spans": q_dup_spans,
+    "substring_dedup": q_substring_dedup,
     "decontaminate": q_decontaminate,
     "repetition": q_repetition,
     "token_histogram": q_token_histogram,
@@ -2056,6 +2184,8 @@ _EXTRA_QUERIES = {
 _EXTRA_ORACLES = {
     "line_dedup": _o_line_dedup,
     "line_dedup_within": _o_line_dedup_within,
+    "dup_spans": _o_dup_spans,
+    "substring_dedup": _o_substring_dedup,
     "decontaminate": _o_decontaminate,
     "repetition": _o_repetition,
     "token_histogram": _o_token_histogram,

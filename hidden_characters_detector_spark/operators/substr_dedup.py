@@ -1,0 +1,239 @@
+"""Exact substring deduplication (ExactSubstr, Lee et al. 2022,
+"Deduplicating Training Data Makes Language Models Better").
+
+Removes every repeated occurrence of any substring of length ≥ ``k``
+that appears more than once in the corpus — across documents or within
+one — keeping only the corpus-order first occurrence.  This is the
+span-level member of the engine's dedup family (document level:
+``dedup.exact_dedup`` / near-dup sketches; line/paragraph level:
+``line_dedup``; sub-line spans: here).  The reference has no
+counterpart (its unit of work is the single line,
+``/root/reference/hidden-characters-detector.py:740-746``); the
+operator follows the engine's LLM-curation brief.
+
+Algorithm (the distributed analog of the paper's suffix-array scan):
+
+1. every in-document ``k``-gram start position gets the same Horner
+   rolling hash the sketch family uses (``dedup._rolling_hashes`` — one
+   vectorized pass per Arrow batch, duplicates kept, positions kept);
+2. a position is DUPLICATED iff its hash has an earlier occurrence in
+   global ``(doc, pos)`` order — ``row_number() >= 2`` over a window
+   partitioned by hash.  The first occurrence always survives, so at
+   least one copy of every byte remains in the corpus (the paper's
+   keep-one policy);
+3. duplicated starts cover ``[pos, pos+k)``; overlapping/adjacent
+   covers merge into maximal spans per document (gaps-and-islands over
+   a per-document window);
+4. optionally the spans are cut out of the text in one Arrow pass
+   (interval-paint + ``cumsum`` mask over the batch's flat codepoints —
+   no per-row Python, no O(i) JVM ``substring`` calls).
+
+Scale contract: the verdict for EVERY position must cross a
+hash-partitioned exchange once — ``Θ(n)`` rows of ``(id, pos, hash)``,
+~24 bytes per corpus character, through ONE shuffle.  That is the
+distributed price of exact-substring semantics (the single-node price
+in the paper is an 8-byte/char suffix array plus a global sort — same
+order); there is nothing to partial-aggregate because near-all hashes
+are corpus-unique.  Everything after the verdict is sub-linear: marked
+positions (duplicated content only) flow through one per-document
+exchange, and the rebuild join touches only documents that own a span.
+No raw text ever rides an exchange (plan-asserted in
+``tests/test_plans.py``).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pyarrow as pa
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..sources.synth import flat_tokens_to_strings, strings_to_flat_tokens
+from .clean import _flat_tokens
+from .dedup import _rolling_hashes
+
+
+def _position_rows(df: DataFrame, col: str, id_col: str, extract
+                   ) -> DataFrame:
+    """One row per in-document ``k``-gram start: ``(id, pos, h)``.
+
+    ``extract`` maps the content column to (flat hashes uint64, row
+    offsets) with positions IN ORDER (``dedup._rolling_hashes`` keeps
+    them).  ``pos`` is the 0-based start offset inside the document;
+    ``h`` is the uint64 hash reinterpreted as int64 — an internal
+    grouping key, never a contract value.  Docs shorter than ``k`` emit
+    nothing.
+    """
+    slim = df.select(id_col, col)
+    id_type = slim.schema[id_col].dataType.simpleString()
+    ddl = f"{id_col} {id_type}, pos bigint, h bigint"
+
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            h, off = extract(batch.column(col))
+            lens = np.diff(off)
+            idx = np.repeat(np.arange(lens.shape[0], dtype=np.int64), lens)
+            pos = np.arange(h.shape[0], dtype=np.int64) - np.repeat(
+                off[:-1], lens)
+            ids = batch.column(id_col).take(pa.array(idx, type=pa.int64()))
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.array(pos, type=pa.int64()),
+                 pa.array(h.astype(np.int64), type=pa.int64())],
+                names=[id_col, "pos", "h"])
+
+    return slim.mapInArrow(run, ddl)
+
+
+def position_hashes(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", *, k: int = 40) -> DataFrame:
+    """``(id, pos, h)`` rows over a STRING corpus — one per char
+    ``k``-gram start (see :func:`_position_rows`)."""
+    return _position_rows(
+        df, text_col, id_col,
+        lambda c: _rolling_hashes(*_text_flat(c), k))
+
+
+def token_position_hashes(df: DataFrame, tokens_col: str = "tokens",
+                          id_col: str = "doc_id", *,
+                          k: int = 40) -> DataFrame:
+    """:func:`position_hashes` over the TOKEN table (input_hint shape).
+    The ``tokens`` arrays are codepoints, so hashes — and therefore
+    spans — are identical to the text path's for equal content
+    (parity-tested)."""
+    return _position_rows(
+        df, tokens_col, id_col,
+        lambda c: _rolling_hashes(*_list_flat_u64(c), k))
+
+
+def _text_flat(col: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    flat, off = strings_to_flat_tokens(col)
+    return flat.astype(np.uint64), off
+
+
+def _list_flat_u64(col: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    values, off = _flat_tokens(col)
+    return values.astype(np.uint64), off
+
+
+def _merge_spans(marked: DataFrame, id_col: str, k: int) -> DataFrame:
+    """Maximal covered spans from duplicated start positions:
+    gaps-and-islands — a new island starts where a position's cover
+    ``[pos, pos+k)`` does not touch the running max end of everything
+    before it.  One per-document exchange over DUPLICATED positions
+    only; each document's marked list sorts in one task (bounded by
+    document length, not corpus size)."""
+    wd = Window.partitionBy(id_col).orderBy("pos")
+    prev_end = F.max(F.col("pos") + k).over(
+        wd.rowsBetween(Window.unboundedPreceding, -1))
+    new_isl = F.when(prev_end.isNull() | (F.col("pos") > prev_end),
+                     1).otherwise(0)
+    isl = F.sum(new_isl).over(
+        wd.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (marked.withColumn("_isl", isl)
+            .groupBy(id_col, "_isl")
+            .agg(F.min("pos").cast("long").alias("span_start"),
+                 (F.max("pos") + k).cast("long").alias("span_end"))
+            .drop("_isl"))
+
+
+def duplicated_spans(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id", *, k: int = 40,
+                     positions: DataFrame | None = None) -> DataFrame:
+    """Maximal repeated-substring spans: ``(id, span_start, span_end)``,
+    0-based half-open, covering every char that belongs to a ``k``-gram
+    with an earlier occurrence in ``(doc, pos)`` order.  The globally
+    first occurrence of any repeated substring is NOT spanned (keep-one).
+
+    ``positions``: pre-built :func:`position_hashes` /
+    :func:`token_position_hashes` rows (pass to run span detection over
+    the token table); default = the text path over ``df``.
+
+    Determinism: spans are a pure function of the corpus content —
+    ``row_number`` orders by the unique ``(id, pos)`` key, so the output
+    is identical under any partitioning (tested).
+    """
+    rows = (position_hashes(df, text_col, id_col, k=k)
+            if positions is None else positions)
+    wh = Window.partitionBy("h").orderBy(id_col, "pos")
+    marked = (rows.withColumn("_rn", F.row_number().over(wh))
+              .where(F.col("_rn") >= 2).drop("_rn", "h"))
+    return _merge_spans(marked, id_col, k)
+
+
+def remove_duplicated_spans(df: DataFrame, text_col: str = "text",
+                            id_col: str = "doc_id", *, k: int = 40,
+                            spans: DataFrame | None = None,
+                            out_col: str = "text_dedup",
+                            broadcast_spans: bool = True) -> DataFrame:
+    """Cut the duplicated spans out of each document.
+
+    Output = ``df``'s columns plus ``out_col`` (the rebuilt text);
+    documents with no spans pass through verbatim, NULL text rebuilds as
+    empty (the ``line_dedup`` convention).  The rebuild is one Arrow
+    pass: interval-paint (+1/−1 deltas, ``cumsum``) over the batch's
+    flat codepoints, then a single bulk re-encode — no per-row Python,
+    no O(i) JVM ``substring``.
+
+    ``broadcast_spans=True`` (default) broadcasts the per-document span
+    lists so the corpus side never shuffles for the join — right
+    whenever duplicated content is a modest fraction of the corpus.  Set
+    ``False`` when the span table itself is too large to broadcast (a
+    heavily-duplicated crawl) and pay one corpus exchange instead.
+    """
+    if spans is None:
+        spans = duplicated_spans(df, text_col, id_col, k=k)
+    per_doc = (spans.groupBy(id_col)
+               .agg(F.sort_array(F.collect_list(
+                   F.struct("span_start", "span_end"))).alias("_spans")))
+    if broadcast_spans:
+        per_doc = F.broadcast(per_doc)
+    names = [f.name for f in df.schema.fields]
+    # the join reorders columns (join key first) — pin the kernel's view
+    joined = df.join(per_doc, id_col, "left").select(*names, "_spans")
+    ddl = ", ".join(
+        [f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields]
+        + [f"{out_col} string"])
+
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            texts = batch.column(text_col)
+            flat, off = strings_to_flat_tokens(texts)
+            sp = batch.column(len(names))  # _spans: list<struct<s,e>>
+            sp_lens = sp.value_lengths().fill_null(0).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            flat_sp = sp.flatten()
+            starts = flat_sp.field("span_start").to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            ends = flat_sp.field("span_end").to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            row_of_span = np.repeat(np.arange(sp_lens.shape[0],
+                                              dtype=np.int64), sp_lens)
+            doc_start = off[:-1][row_of_span]
+            doc_len = np.diff(off)[row_of_span]
+            # clip foreign spans to the document (spans built here are
+            # always in range; clipping keeps caller-supplied spans safe)
+            gs = doc_start + np.clip(starts, 0, doc_len)
+            ge = np.maximum(doc_start + np.clip(ends, 0, doc_len), gs)
+            delta = np.zeros(flat.shape[0] + 1, dtype=np.int64)
+            np.add.at(delta, gs, 1)
+            np.add.at(delta, ge, -1)
+            keep = np.cumsum(delta[:-1]) == 0
+            # per-row kept counts from the mask itself (robust to
+            # overlapping caller-supplied spans, where summing span
+            # lengths would double-count)
+            nrows = off.shape[0] - 1
+            row_of_char = np.repeat(np.arange(nrows, dtype=np.int64),
+                                    np.diff(off))
+            kept_per_row = np.bincount(row_of_char[keep],
+                                       minlength=nrows).astype(np.int64)
+            new_off = np.concatenate(
+                [[0], np.cumsum(kept_per_row, dtype=np.int64)])
+            out = flat_tokens_to_strings(flat[keep], new_off)
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(i) for i in range(len(names))] + [out],
+                names=names + [out_col])
+
+    return joined.mapInArrow(run, ddl)

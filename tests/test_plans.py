@@ -338,3 +338,34 @@ def test_unigram_logprob_model_broadcast_partial_agg(spark):
     doc_exchanges = [ln for ln in plan.splitlines()
                      if "Exchange hashpartitioning(doc_id" in ln]
     assert len(doc_exchanges) == 1
+
+
+def test_substr_dedup_spans_plan(spark):
+    """Exact-substring span detection: exactly TWO exchanges — the
+    hash-keyed verdict shuffle (the algorithm's Θ(n) price) and the
+    per-document island merge over duplicated positions only — and no
+    raw text column ever rides an exchange (the kernel reduces text to
+    (id, pos, hash) before the first shuffle)."""
+    from hidden_characters_detector_spark.operators import substr_dedup
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").selectExpr(
+        "cast(doc_id as string) doc_id", "text")
+    plan = _plan(substr_dedup.duplicated_spans(docs, k=40))
+    exchange_lines = [ln for ln in plan.splitlines()
+                      if "Exchange hashpartitioning" in ln]
+    assert len(exchange_lines) == 2
+    assert any("(h" in ln or " h#" in ln for ln in exchange_lines)
+    assert all("text" not in ln for ln in exchange_lines)
+    # the final span aggregate reuses the per-doc partitioning — no
+    # third exchange between the island window and the groupBy
+    assert "Cartesian" not in plan
+
+
+def test_substr_dedup_remove_broadcasts_spans(spark):
+    """The rebuild join broadcasts the per-document span lists — the
+    corpus side never shuffles to receive its spans."""
+    from hidden_characters_detector_spark.operators import substr_dedup
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").selectExpr(
+        "cast(doc_id as string) doc_id", "text")
+    plan = _plan(substr_dedup.remove_duplicated_spans(docs, k=40))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

@@ -1,0 +1,135 @@
+"""Exact substring dedup (``operators.substr_dedup``) semantics.
+
+The operator family implements the ExactSubstr policy (Lee et al. 2022):
+every substring of length ≥ k that occurs more than once keeps only its
+corpus-order first occurrence.  The contract queries (``dup_spans``,
+``substring_dedup``) hash-match full-algorithm DuckDB oracles; these
+tests pin the semantic corners the fixture can't isolate.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from hidden_characters_detector_spark.operators import substr_dedup as sd
+from hidden_characters_detector_spark.operators.text_ops import tokenize
+
+K = 10
+W = "abcdeZYXWVfghijPQRST"      # 20 chars, aperiodic at k=10
+X = "0123456789XYZUVWQRST"
+Y = "helloworldthisisatest"     # 21 chars
+Z = "ENDINGPIECEDISTINCT9"
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (1, X + Y),     # first occurrence of Y
+        (2, Y + Z),     # repeated Y prefix
+        (3, W + W),     # within-doc doubled block
+        (4, "short"),   # shorter than k: never spanned
+        (5, None),      # NULL text
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_spans_first_occurrence_kept(spark, corpus):
+    spans = {(r.doc_id, r.span_start, r.span_end)
+             for r in sd.duplicated_spans(corpus, k=K).collect()}
+    # doc 1 holds every first occurrence -> no spans; doc 2's Y prefix is
+    # the repeat; doc 3's second W block is the repeat (k-grams crossing
+    # the W|W seam are unique, so the span starts exactly at |W|)
+    assert spans == {(2, 0, len(Y)), (3, len(W), 2 * len(W))}
+
+
+def test_remove_rebuilds_exactly(spark, corpus):
+    got = {r.doc_id: r.text_dedup
+           for r in sd.remove_duplicated_spans(corpus, k=K).collect()}
+    assert got == {1: X + Y, 2: Z, 3: W, 4: "short", 5: ""}
+
+
+def test_periodic_content_collapses_to_one_period(spark):
+    """A doc of m repeats of an aperiodic block keeps exactly one block:
+    every k-gram at pos >= |block| equals the one |block| earlier, so the
+    span is [|block|, m*|block|) — the subtle ExactSubstr corner where
+    'remove later occurrences' compounds transitively."""
+    df = spark.createDataFrame([(1, W * 4)], "doc_id long, text string")
+    got = sd.remove_duplicated_spans(df, k=K).collect()[0].text_dedup
+    assert got == W
+
+
+def test_partitioning_independence(spark, corpus):
+    a = sorted(map(tuple, sd.duplicated_spans(corpus, k=K).collect()))
+    b = sorted(map(tuple, sd.duplicated_spans(
+        corpus.repartition(7), k=K).collect()))
+    assert a == b and a  # non-vacuous
+
+
+def test_token_table_parity(spark, corpus):
+    """Span detection over the token table (input_hint shape) equals the
+    text path — the tokens ARE the codepoints, so the rolling hashes and
+    therefore the spans are identical."""
+    pos = sd.token_position_hashes(tokenize(corpus), k=K)
+    a = sorted(map(tuple, sd.duplicated_spans(corpus, k=K).collect()))
+    b = sorted(map(tuple,
+                   sd.duplicated_spans(corpus, k=K,
+                                       positions=pos).collect()))
+    assert a == b
+
+
+def test_caller_spans_overlapping_and_out_of_range(spark):
+    """remove_duplicated_spans must stay consistent under caller-supplied
+    spans that overlap or overrun the document — the kept-count comes
+    from the paint mask, not from summed span lengths."""
+    df = spark.createDataFrame([(1, "abcdefghij")],
+                               "doc_id long, text string")
+    spans = spark.createDataFrame(
+        [(1, 2, 6), (1, 4, 8), (1, 9, 99)],
+        "doc_id long, span_start long, span_end long")
+    got = sd.remove_duplicated_spans(df, k=K, spans=spans) \
+        .collect()[0].text_dedup
+    assert got == "abi"  # removes [2,8) ∪ [9,10)
+
+
+def test_no_spans_passes_all_columns_through(spark):
+    df = spark.createDataFrame([(1, "unique-one", "m1"),
+                                (2, "unique-two", "m2")],
+                               "doc_id long, text string, meta string")
+    out = sd.remove_duplicated_spans(df, k=K).orderBy("doc_id").collect()
+    assert [(r.doc_id, r.text, r.meta, r.text_dedup) for r in out] == [
+        (1, "unique-one", "m1", "unique-one"),
+        (2, "unique-two", "m2", "unique-two")]
+
+
+def test_cross_doc_first_occurrence_is_doc_order(spark):
+    """The keeper is the smallest (doc_id, pos) — swap ingestion order /
+    partitioning and the SAME doc keeps the span."""
+    blk = "QWERTYUIOPASDFGHJKLZ"
+    rows = [(9, "zz" + blk), (2, blk + "yy")]
+    for perm in (rows, rows[::-1]):
+        df = spark.createDataFrame(perm, "doc_id long, text string")
+        spans = {(r.doc_id, r.span_start, r.span_end)
+                 for r in sd.duplicated_spans(df, k=K).collect()}
+        assert spans == {(9, 2, 2 + len(blk))}
+
+
+def test_remove_derives_spans_excluding_nothing_extra(spark, corpus):
+    """Explicit spans arg == default derivation."""
+    spans = sd.duplicated_spans(corpus, k=K)
+    a = {r.doc_id: r.text_dedup for r in
+         sd.remove_duplicated_spans(corpus, k=K, spans=spans).collect()}
+    b = {r.doc_id: r.text_dedup for r in
+         sd.remove_duplicated_spans(corpus, k=K).collect()}
+    assert a == b
+
+
+def test_span_bounds_inside_documents(spark, corpus):
+    joined = (sd.duplicated_spans(corpus, k=K)
+              .join(corpus.select("doc_id",
+                                  F.length("text").alias("_len")),
+                    "doc_id"))
+    bad = joined.where((F.col("span_start") < 0)
+                       | (F.col("span_end") > F.col("_len"))
+                       | (F.col("span_end") - F.col("span_start") < K))
+    assert bad.count() == 0
