@@ -22,6 +22,9 @@ Stages, in curation order (each independently switchable):
                              scale score against a precomputed reference
                              model instead of re-deriving per run)
  4. line dedup             — cross-document boilerplate removal (C4)
+ 4b. substring dedup       — ExactSubstr: repeated >=K-char spans keep
+                             only the corpus-order first occurrence
+                             (--substr-k)
  5. exact dedup            — min-id keeper per content hash
  5b. near-dup dedup        — LSH → verify → groups (--near-dedup), keep
                              the LONGEST member per group (keeper
@@ -82,6 +85,10 @@ def main() -> None:
                          "--mix-budget)")
     ap.add_argument("--mix-budget", type=int, default=None,
                     help="target kept-document budget for --mix-alpha")
+    ap.add_argument("--substr-k", type=int, default=None,
+                    help="exact substring dedup (ExactSubstr): repeated "
+                         ">=K-char spans keep only the corpus-order "
+                         "first occurrence")
     ap.add_argument("--exact-dedup", default=True,
                     action=argparse.BooleanOptionalAction)
     ap.add_argument("--near-dedup", action="store_true",
@@ -206,6 +213,16 @@ def main() -> None:
                                           min_docs=args.line_min_docs)
                    .select(id_col, F.col("text_dedup").alias("text")))
         note("line_dedup", cur)
+    # 4b. exact substring dedup (ExactSubstr): after line dedup (line
+    # removal changes span content) and before doc-level dedup (span
+    # cuts can turn near-dups into exact dups the next stage collapses).
+    # Lineage cut first: span detection + rebuild evaluate cur twice.
+    if args.substr_k is not None:
+        from hidden_characters_detector_spark.operators import substr_dedup
+        cur = cur.localCheckpoint()
+        cur = (substr_dedup.remove_duplicated_spans(cur, k=args.substr_k)
+               .select(id_col, F.col("text_dedup").alias("text")))
+        note("substr_dedup", cur)
     # 5. exact dedup (after line dedup: boilerplate removal creates dups)
     if args.exact_dedup:
         keep = dedup.exact_dedup(cur).select(id_col)

@@ -113,3 +113,41 @@ def test_cli_curation_end_to_end(spark, tmp_path):
     assert counts2["near_dedup"] == 7          # one of {3, twin} dropped
     assert counts2["decontaminate"] == 6       # leaked doc 5 dropped
     assert counts2["written"] == counts2["temperature_mix"] <= 6
+
+
+def test_cli_curation_substring_dedup(spark, tmp_path):
+    """Isolated --substr-k run: the later copy of a cross-document
+    repeated substring is cut (the corpus-order first survives), rows
+    are rewritten, never dropped."""
+    blk = "this exact block of text is long enough to repeat verbatim"
+    # flanks fully distinct between docs 1 and 3: the maximal duplicated
+    # span is exactly " {blk} " (shared flank words would widen it)
+    rows = [
+        (1, f"primero unico1{blk}2fin uno"),
+        (2, "unrelated second document with its own words only"),
+        (3, f"segundo distinto3{blk}4cola dos"),
+    ]
+    src = str(tmp_path / "docs")
+    out = str(tmp_path / "curated")
+    spark.createDataFrame(rows, "doc_id long, text string") \
+        .write.parquet(src)
+    env = dict(os.environ, SPARK_GRAFT_SHUFFLE="2")
+    res = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "run_curation.py"),
+         "--input", src, "--output", out, "--master", "local[2]",
+         "--quality-min", "0", "--no-repetition-filter",
+         "--no-line-dedup", "--no-exact-dedup", "--substr-k", "25"],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=600)
+    assert res.returncode == 0, res.stderr[-4000:]
+    line = [ln for ln in res.stdout.splitlines()
+            if ln.startswith("CURATION ")][0]
+    counts = json.loads(line[len("CURATION "):])
+    assert counts["substr_dedup"] == 3      # rewrites, never drops
+    assert counts["written"] == 3
+    by_id = {r["doc_id"]: r["text"]
+             for r in spark.read.parquet(out).collect()}
+    assert blk in by_id[1]                   # first occurrence kept
+    assert by_id[2] == rows[1][1]            # untouched
+    assert blk not in by_id[3]               # later copy cut
+    assert "segundo distinto3" in by_id[3]   # unique flanks survive
+    assert "4cola dos" in by_id[3]
