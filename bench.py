@@ -209,7 +209,19 @@ def bench_curation(spark, cpus: int):
         out = decontam.contamination_report(corpus, evl, k=20)
         return out.agg(F.count("*"), F.sum("n_hits")).collect()
 
-    return {"line_dedup": q_line_dedup, "decontam": q_decontam}
+    def q_substr_dedup():
+        # ExactSubstr span removal over the RAW corpus (natural template
+        # dups only — the replicated corpus is a 97%-duplicate
+        # pathological case measured separately in BENCH/BASELINE.md):
+        # position hashing + the Θ(n) hash-keyed verdict shuffle +
+        # island merge + interval-paint rebuild
+        from hidden_characters_detector_spark.operators import substr_dedup
+        out = substr_dedup.remove_duplicated_spans(docs, k=40)
+        return out.agg(F.count("*"),
+                       F.sum(F.length("text_dedup"))).collect()
+
+    return {"line_dedup": q_line_dedup, "decontam": q_decontam,
+            "substr_dedup": q_substr_dedup}
 
 
 def bench_packing(spark, tok):
