@@ -1812,7 +1812,7 @@ _SUBSTR_FIXTURE_SQL = """
       FROM documents WHERE length(text) >= 80"""
 
 
-def _o_substr_spans_cte(k: int = 40) -> str:
+def _o_substr_spans_cte(k: int = 40, winnow: int = 1) -> str:
     """Shared oracle CTE chain ending in ``spans(doc_id, span_start,
     span_end)`` — replicates :mod:`operators.substr_dedup` verbatim: the
     same Horner/2^64 rolling hash per k-gram start (``list_reduce`` over
@@ -1820,7 +1820,32 @@ def _o_substr_spans_cte(k: int = 40) -> str:
     first-occurrence-in-(doc,pos)-order mark rule (``row_number() >= 2``
     over the hash), the same gaps-and-islands merge of ``[pos, pos+k)``
     covers.  Binary string collation orders doc_id identically in both
-    engines."""
+    engines.  ``winnow > 1`` inserts the fingerprint-selection CTEs:
+    per window of ``w`` consecutive positions (shrinking at the document
+    tail, exactly like the kernel), the rightmost position attaining the
+    window min — the verdict then runs over selected rows only."""
+    if winnow > 1:
+        sel = f""",
+    wm AS (
+      SELECT doc_id, pos AS ws,
+             min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW
+                          AND {winnow - 1} FOLLOWING) AS wmin
+      FROM hs),
+    selpos AS (
+      SELECT DISTINCT doc_id, pos FROM (
+        SELECT wm.doc_id, max(h2.pos) AS pos
+        FROM wm JOIN hs h2
+          ON h2.doc_id = wm.doc_id
+         AND h2.pos BETWEEN wm.ws AND wm.ws + {winnow - 1}
+         AND h2.h = wm.wmin
+        GROUP BY wm.doc_id, wm.ws)),
+    vrows AS (
+      SELECT hs.doc_id, hs.pos, hs.h
+      FROM hs JOIN selpos USING (doc_id, pos))"""
+    else:
+        sel = """,
+    vrows AS (SELECT doc_id, pos, h FROM hs)"""
     return f"""
     WITH u AS ({_SUBSTR_FIXTURE_SQL}),
     cl AS (
@@ -1834,13 +1859,13 @@ def _o_substr_spans_cte(k: int = 40) -> str:
                list_slice(cpl, CAST(i AS INTEGER),
                           CAST(i + {k - 1} AS INTEGER)),
                (a, b) -> (a * {_HB} + b) % {_M64}) AS h
-      FROM cl, unnest(range(1, len(cpl) - {k - 2})) AS t(i)),
+      FROM cl, unnest(range(1, len(cpl) - {k - 2})) AS t(i)){sel},
     mk AS (
       SELECT doc_id, pos FROM (
         SELECT doc_id, pos,
                row_number() OVER (PARTITION BY h
                                   ORDER BY doc_id, pos) AS rn
-        FROM hs) WHERE rn >= 2),
+        FROM vrows) WHERE rn >= 2),
     isl AS (
       SELECT doc_id, pos,
              CASE WHEN pos > coalesce(max(pos + {k}) OVER w, -1)
@@ -1874,6 +1899,23 @@ def q_dup_spans(spark, sf_dir):
 
 def _o_dup_spans(k: int = 40):
     return f"""{_o_substr_spans_cte(k)}
+    SELECT doc_id, span_start, span_end FROM spans"""
+
+
+def q_dup_spans_winnowed(spark, sf_dir):
+    """The 100-TB scale path of exact-substring dedup: only winnowed
+    fingerprints (rightmost-min over every 8-window of consecutive
+    40-gram hashes, Schleimer et al. 2003) enter the verdict shuffle —
+    ~4.5× less exchange volume, guaranteed detection of every repeat ≥
+    47 chars.  The oracle replicates the window selection, the mark
+    rule, and the island merge value-for-value."""
+    from hidden_characters_detector_spark.operators import substr_dedup
+    return substr_dedup.duplicated_spans(_substr_fixture(spark, sf_dir),
+                                         k=40, winnow=8)
+
+
+def _o_dup_spans_winnowed(k: int = 40, w: int = 8):
+    return f"""{_o_substr_spans_cte(k, winnow=w)}
     SELECT doc_id, span_start, span_end FROM spans"""
 
 
@@ -2145,6 +2187,7 @@ _EXTRA_QUERIES = {
     "line_dedup": q_line_dedup,
     "line_dedup_within": q_line_dedup_within,
     "dup_spans": q_dup_spans,
+    "dup_spans_winnowed": q_dup_spans_winnowed,
     "substring_dedup": q_substring_dedup,
     "decontaminate": q_decontaminate,
     "repetition": q_repetition,
@@ -2185,6 +2228,7 @@ _EXTRA_ORACLES = {
     "line_dedup": _o_line_dedup,
     "line_dedup_within": _o_line_dedup_within,
     "dup_spans": _o_dup_spans,
+    "dup_spans_winnowed": _o_dup_spans_winnowed,
     "substring_dedup": _o_substring_dedup,
     "decontaminate": _o_decontaminate,
     "repetition": _o_repetition,

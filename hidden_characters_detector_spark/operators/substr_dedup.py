@@ -39,6 +39,21 @@ positions (duplicated content only) flow through one per-document
 exchange, and the rebuild join touches only documents that own a span.
 No raw text ever rides an exchange (plan-asserted in
 ``tests/test_plans.py``).
+
+The 100-TB knob is ``winnow``: with ``winnow=w > 1`` only the winnowed
+fingerprint positions (Schleimer et al. 2003, rightmost-min over every
+``w``-window of consecutive ``k``-gram hashes) enter the verdict
+shuffle — expected density ``2/(w+1)``, i.e. ~``(w+1)/2``× less
+exchange volume — at a RECALL contract instead of exactness: any
+duplicated substring of length ≥ ``w + k − 1`` selects at least one
+common fingerprint in every occurrence (the winnowing guarantee), so it
+is always detected, but reported span extents cover only the selected
+positions' ``[pos, pos+k)`` windows (underestimates), and repeats
+shorter than ``w + k − 1`` may be missed.  ``winnow=1`` is the exact
+path.  Selection is content-local (pure function of the document's own
+hash sequence), so identical substrings select identical relative
+positions regardless of where they sit in the corpus — that is what
+makes the guarantee hold across documents.
 """
 
 from __future__ import annotations
@@ -56,8 +71,62 @@ from .clean import _flat_tokens
 from .dedup import _rolling_hashes
 
 
-def _position_rows(df: DataFrame, col: str, id_col: str, extract
-                   ) -> DataFrame:
+_SENTINEL = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+def _winnow_select(h: np.ndarray, off: np.ndarray, w: int
+                   ) -> tuple[np.ndarray, np.ndarray]:
+    """Winnowed fingerprint positions over per-document hash sequences.
+
+    For every in-document window of ``w`` consecutive hash positions
+    (``[i, min(i+w, n))`` — the tail windows shrink, so every non-empty
+    document selects at least one position), select the RIGHTMOST
+    minimum; return the union as ``(flat indices into h, doc row per
+    index)``, sorted.  O(n log w): a sparse-table doubling pass over the
+    sentinel-padded flat array (pads are ``2^64−1``; a window whose real
+    values are all ``2^64−1`` is clamped back to its rightmost real
+    position, keeping numpy and the SQL oracle — which has no pads —
+    identical).
+    """
+    n = h.size
+    lens = np.diff(off)
+    nrows = lens.shape[0]
+    if n == 0:
+        return (np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64))
+    pad_off = np.concatenate(
+        [[0], np.cumsum(lens + (w - 1), dtype=np.int64)])
+    total = int(pad_off[-1])
+    vals = np.full(total, _SENTINEL, dtype=np.uint64)
+    row = np.repeat(np.arange(nrows, dtype=np.int64), lens)
+    pos_in = np.arange(n, dtype=np.int64) - np.repeat(off[:-1], lens)
+    starts = np.repeat(pad_off[:-1], lens) + pos_in
+    vals[starts] = h
+    # doubling: (min value, its RIGHTMOST padded position) per block of
+    # size t; ties take the right operand (always the larger position —
+    # for the final overlapped combine the right block owns the global
+    # rightmost min whenever values tie)
+    m, p = vals, np.arange(total, dtype=np.int64)
+    t = 1
+    while t * 2 <= w:
+        right = m[t:] <= m[:-t]
+        m = np.where(right, m[t:], m[:-t])
+        p = np.where(right, p[t:], p[:-t])
+        t *= 2
+    left_m, left_p = m[starts], p[starts]
+    right_m, right_p = m[starts + (w - t)], p[starts + (w - t)]
+    right = right_m <= left_m
+    sel = np.where(right, right_p, left_p)
+    # all-sentinel-min windows (every real value == 2^64−1): clamp to the
+    # window's rightmost REAL position
+    last_real = starts + np.minimum(np.repeat(lens, lens) - pos_in, w) - 1
+    sel = np.minimum(sel, last_real)
+    flat = np.unique(np.repeat(off[:-1], lens) + (sel - np.repeat(
+        pad_off[:-1], lens)))
+    return flat, np.searchsorted(off, flat, side="right") - 1
+
+
+def _position_rows(df: DataFrame, col: str, id_col: str, extract,
+                   winnow: int = 1) -> DataFrame:
     """One row per in-document ``k``-gram start: ``(id, pos, h)``.
 
     ``extract`` maps the content column to (flat hashes uint64, row
@@ -65,8 +134,11 @@ def _position_rows(df: DataFrame, col: str, id_col: str, extract
     them).  ``pos`` is the 0-based start offset inside the document;
     ``h`` is the uint64 hash reinterpreted as int64 — an internal
     grouping key, never a contract value.  Docs shorter than ``k`` emit
-    nothing.
+    nothing.  ``winnow > 1`` keeps only the winnowed fingerprint
+    positions (see :func:`_winnow_select` and the module docstring).
     """
+    if winnow < 1:
+        raise ValueError(f"winnow must be >= 1, got {winnow}")
     slim = df.select(id_col, col)
     id_type = slim.schema[id_col].dataType.simpleString()
     ddl = f"{id_col} {id_type}, pos bigint, h bigint"
@@ -74,10 +146,16 @@ def _position_rows(df: DataFrame, col: str, id_col: str, extract
     def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
             h, off = extract(batch.column(col))
-            lens = np.diff(off)
-            idx = np.repeat(np.arange(lens.shape[0], dtype=np.int64), lens)
-            pos = np.arange(h.shape[0], dtype=np.int64) - np.repeat(
-                off[:-1], lens)
+            if winnow > 1:
+                flat, idx = _winnow_select(h, off, winnow)
+                pos = flat - off[idx]
+                h = h[flat]
+            else:
+                lens = np.diff(off)
+                idx = np.repeat(np.arange(lens.shape[0], dtype=np.int64),
+                                lens)
+                pos = np.arange(h.shape[0], dtype=np.int64) - np.repeat(
+                    off[:-1], lens)
             ids = batch.column(id_col).take(pa.array(idx, type=pa.int64()))
             yield pa.RecordBatch.from_arrays(
                 [ids, pa.array(pos, type=pa.int64()),
@@ -88,24 +166,26 @@ def _position_rows(df: DataFrame, col: str, id_col: str, extract
 
 
 def position_hashes(df: DataFrame, text_col: str = "text",
-                    id_col: str = "doc_id", *, k: int = 40) -> DataFrame:
+                    id_col: str = "doc_id", *, k: int = 40,
+                    winnow: int = 1) -> DataFrame:
     """``(id, pos, h)`` rows over a STRING corpus — one per char
-    ``k``-gram start (see :func:`_position_rows`)."""
+    ``k``-gram start, or per winnowed fingerprint when ``winnow > 1``
+    (see :func:`_position_rows`)."""
     return _position_rows(
         df, text_col, id_col,
-        lambda c: _rolling_hashes(*_text_flat(c), k))
+        lambda c: _rolling_hashes(*_text_flat(c), k), winnow)
 
 
 def token_position_hashes(df: DataFrame, tokens_col: str = "tokens",
                           id_col: str = "doc_id", *,
-                          k: int = 40) -> DataFrame:
+                          k: int = 40, winnow: int = 1) -> DataFrame:
     """:func:`position_hashes` over the TOKEN table (input_hint shape).
     The ``tokens`` arrays are codepoints, so hashes — and therefore
     spans — are identical to the text path's for equal content
     (parity-tested)."""
     return _position_rows(
         df, tokens_col, id_col,
-        lambda c: _rolling_hashes(*_list_flat_u64(c), k))
+        lambda c: _rolling_hashes(*_list_flat_u64(c), k), winnow)
 
 
 def _text_flat(col: pa.Array) -> tuple[np.ndarray, np.ndarray]:
@@ -141,11 +221,18 @@ def _merge_spans(marked: DataFrame, id_col: str, k: int) -> DataFrame:
 
 def duplicated_spans(df: DataFrame, text_col: str = "text",
                      id_col: str = "doc_id", *, k: int = 40,
+                     winnow: int = 1,
                      positions: DataFrame | None = None) -> DataFrame:
     """Maximal repeated-substring spans: ``(id, span_start, span_end)``,
     0-based half-open, covering every char that belongs to a ``k``-gram
     with an earlier occurrence in ``(doc, pos)`` order.  The globally
     first occurrence of any repeated substring is NOT spanned (keep-one).
+
+    ``winnow > 1`` trades exactness for a ``~(w+1)/2``× smaller verdict
+    shuffle: only winnowed fingerprints are checked, so spans cover the
+    duplicated FINGERPRINT windows (detection of every repeat ≥
+    ``winnow + k − 1`` chars is guaranteed; extents shrink and repeats
+    shorter than that may be missed — see the module docstring).
 
     ``positions``: pre-built :func:`position_hashes` /
     :func:`token_position_hashes` rows (pass to run span detection over
@@ -155,7 +242,7 @@ def duplicated_spans(df: DataFrame, text_col: str = "text",
     ``row_number`` orders by the unique ``(id, pos)`` key, so the output
     is identical under any partitioning (tested).
     """
-    rows = (position_hashes(df, text_col, id_col, k=k)
+    rows = (position_hashes(df, text_col, id_col, k=k, winnow=winnow)
             if positions is None else positions)
     wh = Window.partitionBy("h").orderBy(id_col, "pos")
     marked = (rows.withColumn("_rn", F.row_number().over(wh))
@@ -165,6 +252,7 @@ def duplicated_spans(df: DataFrame, text_col: str = "text",
 
 def remove_duplicated_spans(df: DataFrame, text_col: str = "text",
                             id_col: str = "doc_id", *, k: int = 40,
+                            winnow: int = 1,
                             spans: DataFrame | None = None,
                             out_col: str = "text_dedup",
                             broadcast_spans: bool = True) -> DataFrame:
@@ -184,7 +272,7 @@ def remove_duplicated_spans(df: DataFrame, text_col: str = "text",
     heavily-duplicated crawl) and pay one corpus exchange instead.
     """
     if spans is None:
-        spans = duplicated_spans(df, text_col, id_col, k=k)
+        spans = duplicated_spans(df, text_col, id_col, k=k, winnow=winnow)
     per_doc = (spans.groupBy(id_col)
                .agg(F.sort_array(F.collect_list(
                    F.struct("span_start", "span_end"))).alias("_spans")))

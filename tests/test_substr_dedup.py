@@ -16,6 +16,7 @@ from hidden_characters_detector_spark.operators import substr_dedup as sd
 from hidden_characters_detector_spark.operators.text_ops import tokenize
 
 K = 10
+SF_DIR = "/root/testdata/sf0.001"
 W = "abcdeZYXWVfghijPQRST"      # 20 chars, aperiodic at k=10
 X = "0123456789XYZUVWQRST"
 Y = "helloworldthisisatest"     # 21 chars
@@ -122,6 +123,100 @@ def test_remove_derives_spans_excluding_nothing_extra(spark, corpus):
     b = {r.doc_id: r.text_dedup for r in
          sd.remove_duplicated_spans(corpus, k=K).collect()}
     assert a == b
+
+
+def test_winnow_select_matches_bruteforce():
+    """The O(n log w) sparse-table kernel == a literal per-window
+    rightmost-argmin reference, across doc boundaries, hash ties, and
+    values equal to the sentinel (2^64−1).  No Spark needed."""
+    import numpy as np
+
+    def ref(docs, w):
+        out, base = [], 0
+        for hs in docs:
+            sel, n = set(), len(hs)
+            for i in range(n):
+                win = hs[i:min(i + w, n)]
+                mn = min(win)
+                sel.add(base + i
+                        + max(q for q in range(len(win)) if win[q] == mn))
+            out.extend(sorted(sel))
+            base += n
+        return out
+
+    rng = np.random.default_rng(7)
+    for trial in range(200):
+        docs = []
+        for _ in range(int(rng.integers(1, 6))):
+            n = int(rng.integers(0, 25))
+            vals = rng.integers(0, 6, size=n).astype(np.uint64)
+            vals[rng.random(n) < 0.1] = np.uint64(0xFFFFFFFFFFFFFFFF)
+            docs.append(list(vals))
+        w = int(rng.integers(2, 9))
+        flat = np.array([v for d in docs for v in d], dtype=np.uint64)
+        off = np.concatenate(
+            [[0], np.cumsum([len(d) for d in docs])]).astype(np.int64)
+        got_flat, got_row = sd._winnow_select(flat, off, w)
+        assert list(got_flat) == ref(docs, w), (trial, docs, w)
+        for fi, r in zip(got_flat, got_row):
+            assert off[r] <= fi < off[r + 1]
+
+
+def test_winnow_one_is_exact_path(spark, corpus):
+    """``winnow=1`` must be byte-identical to the default exact path."""
+    a = sorted(map(tuple, sd.duplicated_spans(corpus, k=K).collect()))
+    b = sorted(map(tuple,
+                   sd.duplicated_spans(corpus, k=K, winnow=1).collect()))
+    assert a == b
+
+
+def test_winnow_recall_guarantee(spark):
+    """Every duplicated substring of length >= winnow + k - 1 must be
+    detected (the winnowing guarantee): identical content selects
+    identical relative fingerprints, so the repeat shares a duplicated
+    selected position.  The span must sit inside the repeat and the
+    first occurrence must stay unspanned."""
+    w = 6
+    blk = "The winnowing guarantee needs length fifty plus!"  # 48 >= w+K-1
+    rows = [(1, "aaaaaaaNOISEPREFIXzzz" + blk),
+            (2, blk + "QQdistinctSUFFIX0123")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    spans = sd.duplicated_spans(df, k=K, winnow=w).collect()
+    assert spans and all(r.doc_id == 2 for r in spans)
+    assert all(0 <= r.span_start and r.span_end <= len(blk) for r in spans)
+
+
+def test_winnow_density_bound(spark):
+    """Selected fingerprints ~ 2n/(w+1): at w=8 the verdict shuffle must
+    carry well under half the exact path's rows on real text."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet") \
+        .select("doc_id", "text")
+    exact = sd.position_hashes(docs, k=K).count()
+    winnowed = sd.position_hashes(docs, k=K, winnow=8).count()
+    assert 0 < winnowed < 0.5 * exact
+
+
+def test_winnow_partitioning_independence(spark, corpus):
+    a = sorted(map(tuple,
+                   sd.duplicated_spans(corpus, k=K, winnow=4).collect()))
+    b = sorted(map(tuple, sd.duplicated_spans(
+        corpus.repartition(7), k=K, winnow=4).collect()))
+    assert a == b
+
+
+def test_winnow_spans_subset_of_exact(spark):
+    """Winnowed spans only ever cover chars the exact path also covers
+    (selection is a subset of positions, marks are a subset of marks —
+    and touching winnowed covers imply touching exact covers, so each
+    winnowed span nests inside ONE exact span)."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet") \
+        .select("doc_id", "text").limit(200)
+    exact = {}
+    for r in sd.duplicated_spans(docs, k=K).collect():
+        exact.setdefault(r.doc_id, []).append((r.span_start, r.span_end))
+    for r in sd.duplicated_spans(docs, k=K, winnow=8).collect():
+        assert any(s <= r.span_start and r.span_end <= e
+                   for s, e in exact.get(r.doc_id, [])), r
 
 
 def test_span_bounds_inside_documents(spark, corpus):
