@@ -24,7 +24,10 @@ Stages, in curation order (each independently switchable):
  4. line dedup             — cross-document boilerplate removal (C4)
  4b. substring dedup       — ExactSubstr: repeated >=K-char spans keep
                              only the corpus-order first occurrence
-                             (--substr-k)
+                             (--substr-k; --substr-winnow W trades
+                             exactness for a ~(W+1)/2x smaller verdict
+                             shuffle, detection guaranteed for repeats
+                             >= W+K-1 chars — the at-scale setting)
  5. exact dedup            — min-id keeper per content hash
  5b. near-dup dedup        — LSH → verify → groups (--near-dedup), keep
                              the LONGEST member per group (keeper
@@ -89,6 +92,10 @@ def main() -> None:
                     help="exact substring dedup (ExactSubstr): repeated "
                          ">=K-char spans keep only the corpus-order "
                          "first occurrence")
+    ap.add_argument("--substr-winnow", type=int, default=1,
+                    help="winnow window for --substr-k (1 = exact; "
+                         "W > 1 shuffles only winnowed fingerprints, "
+                         "guaranteeing detection of repeats >= W+K-1)")
     ap.add_argument("--exact-dedup", default=True,
                     action=argparse.BooleanOptionalAction)
     ap.add_argument("--near-dedup", action="store_true",
@@ -220,7 +227,8 @@ def main() -> None:
     if args.substr_k is not None:
         from hidden_characters_detector_spark.operators import substr_dedup
         cur = cur.localCheckpoint()
-        cur = (substr_dedup.remove_duplicated_spans(cur, k=args.substr_k)
+        cur = (substr_dedup.remove_duplicated_spans(
+                   cur, k=args.substr_k, winnow=args.substr_winnow)
                .select(id_col, F.col("text_dedup").alias("text")))
         note("substr_dedup", cur)
     # 5. exact dedup (after line dedup: boilerplate removal creates dups)

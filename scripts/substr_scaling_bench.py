@@ -35,10 +35,12 @@ os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", str(256 << 20))
 os.environ.setdefault("ARROW_DEFAULT_MEMORY_POOL", "system")
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-# 6 replicas x 5k docs = 30k docs / ~11M chars: local[8] runs well above
-# the ~3 s fixed per-job floor (driver planning + worker IPC) that drowns
-# small corpora — same amortization finding as curation_scaling_bench.py
-REPLICAS = int(os.environ.get("SPARK_GRAFT_SUBSTR_REPLICAS", "6"))
+# 24 replicas x 5k docs = 120k docs / ~40M chars: local[8] runs ~15 s,
+# well above the ~3 s fixed per-job floor (driver planning + worker IPC)
+# that drowns small corpora — at 30k docs the same job measures 0.71
+# efficiency purely from that floor (measured; see BENCH/BASELINE.md).
+# Same amortization finding as curation_scaling_bench.py
+REPLICAS = int(os.environ.get("SPARK_GRAFT_SUBSTR_REPLICAS", "24"))
 
 
 def build(cpus: int):

@@ -151,3 +151,23 @@ def test_cli_curation_substring_dedup(spark, tmp_path):
     assert blk not in by_id[3]               # later copy cut
     assert "segundo distinto3" in by_id[3]   # unique flanks survive
     assert "4cola dos" in by_id[3]
+
+    # winnowed run (--substr-winnow 8): the repeat is 59 >= 8+25-1 chars,
+    # so detection is guaranteed; extents underestimate, so doc 3 must
+    # shrink (part of blk cut) while first occurrence and bystander
+    # survive verbatim
+    out2 = str(tmp_path / "curated_winnow")
+    res2 = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "run_curation.py"),
+         "--input", src, "--output", out2, "--master", "local[2]",
+         "--quality-min", "0", "--no-repetition-filter",
+         "--no-line-dedup", "--no-exact-dedup", "--substr-k", "25",
+         "--substr-winnow", "8"],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=600)
+    assert res2.returncode == 0, res2.stderr[-4000:]
+    by_id2 = {r["doc_id"]: r["text"]
+              for r in spark.read.parquet(out2).collect()}
+    assert by_id2[1] == rows[0][1]           # first occurrence verbatim
+    assert by_id2[2] == rows[1][1]           # untouched
+    assert len(by_id2[3]) < len(rows[2][1])  # repeat detected and cut
+    assert "segundo distinto3" in by_id2[3]  # unique flanks survive
