@@ -2510,3 +2510,133 @@ def _o_training_pipeline():
 
 _EXTRA_QUERIES["training_pipeline"] = q_training_pipeline
 _EXTRA_ORACLES["training_pipeline"] = _o_training_pipeline
+
+
+# =========================================================================
+# embedding k-means clustering + SemDeDup (semantic within-cluster dedup)
+# =========================================================================
+_KM_DIM = 64        # embeddings table vector width
+_KM_K = 8           # pinned for the contract rows (auto_k covers scale)
+_KM_ITERS = 3       # assignment passes; updates between them
+
+
+def _o_kmeans_ctes(source_sql: str, *, k: int = _KM_K,
+                   iters: int = _KM_ITERS, dim: int = _KM_DIM) -> str:
+    """Unrolled Lloyd's-iteration CTE chain replicating
+    ``clustering.kmeans_assign`` value-for-value (see that module's
+    determinism protocol): 6-decimal coords, min-id init, dim-order
+    distance folds (bit-identical to the Arrow kernel's accumulation),
+    unrounded argmin with cluster-id tiebreak, decimal-exact centroid
+    means, empty clusters keep their previous centroid.  The final
+    assignment CTE is ``a{iters}`` (columns vec_id, v, cl)."""
+    dist = ("list_reduce(list_transform(list_zip(a.v, c.v), "
+            "p -> (p[1]-p[2])*(p[1]-p[2])), (x,y) -> x+y)")
+    means = ", ".join(
+        f"round(CAST(sum(CAST(v[{j + 1}] AS DECIMAL(28,6))) AS DOUBLE)"
+        f" / count(*), 6)" for j in range(dim))
+    ctes = [f"base AS ({source_sql})",
+            "e AS (SELECT vec_id, list_transform(emb, x -> round(x, 6))"
+            " AS v FROM base)",
+            f"c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cl,"
+            f" v FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {k}))"]
+    for t in range(1, iters + 1):
+        ctes.append(
+            f"a{t} AS (SELECT vec_id, v, cl FROM ("
+            f"SELECT a.vec_id, a.v, c.cl, row_number() OVER ("
+            f"PARTITION BY a.vec_id ORDER BY {dist}, c.cl) AS rn "
+            f"FROM e a CROSS JOIN c{t - 1} c) WHERE rn = 1)")
+        if t < iters:
+            ctes.append(
+                f"c{t} AS (SELECT p.cl, coalesce(m.mv, p.v) AS v "
+                f"FROM c{t - 1} p LEFT JOIN (SELECT cl, [{means}] AS mv "
+                f"FROM a{t} GROUP BY cl) m ON p.cl = m.cl)")
+    return ",\n    ".join(ctes)
+
+
+_KM_PLAIN_SRC = ("SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb "
+                 "FROM embeddings")
+
+
+def q_kmeans_clusters(spark, sf_dir):
+    """Lloyd's k-means assignment over the embeddings table (k=8, 3
+    assignment passes), hash-matched value-for-value against a DuckDB
+    oracle that replicates the iteration chain (``_o_kmeans_ctes``)."""
+    from hidden_characters_detector_spark.operators import clustering
+    emb = _table(spark, sf_dir, "embeddings")
+    assigned, _ = clustering.kmeans_assign(
+        emb, k=_KM_K, iters=_KM_ITERS, materialize=False)
+    return assigned.select("vec_id", "cluster")
+
+
+def _o_kmeans_clusters():
+    return f"""
+    WITH {_o_kmeans_ctes(_KM_PLAIN_SRC)}
+    SELECT vec_id, CAST(cl AS INTEGER) AS cluster FROM a{_KM_ITERS}"""
+
+
+def _semantic_embeddings(spark, sf_dir):
+    """embeddings ∪ planted semantic near-dups: every 7th vector gets an
+    EXACT duplicate (same coords ⇒ same cluster by the deterministic
+    tiebreak, cosine exactly 1) and every 5th a 1.001-scaled sibling
+    (cosine 1 up to coordinate rounding; the tiny scale keeps the
+    distance geometry near-identical so siblings co-cluster for all but
+    hairline-margin points — and the oracle replicates the clustering
+    itself, so recall is parity-checked, not assumed)."""
+    emb = _table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    near = (emb.where(F.col("vec_id") % 5 == 0)
+            .select((F.col("vec_id") + 1000000).alias("vec_id"),
+                    F.transform("embedding", lambda x: x * F.lit(1.001))
+                    .alias("embedding")))
+    dup = (emb.where(F.col("vec_id") % 7 == 0)
+           .select((F.col("vec_id") + 2000000).alias("vec_id"), "embedding"))
+    return emb.unionByName(near).unionByName(dup)
+
+
+_KM_PLANTED_SRC = """
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000,
+             list_transform(CAST(embedding AS DOUBLE[]), x -> x * 1.001)
+      FROM embeddings WHERE vec_id % 5 = 0
+      UNION ALL
+      SELECT vec_id + 2000000, CAST(embedding AS DOUBLE[])
+      FROM embeddings WHERE vec_id % 7 = 0"""
+
+
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup keep/drop verdict (k-means clusters → within-cluster
+    cosine ≥ 0.99 → drop the larger id) over the corpus with planted
+    exact + scaled siblings; the oracle replicates clustering, pair
+    search and verdict end to end."""
+    from hidden_characters_detector_spark.operators import clustering
+    return clustering.semantic_dedup(
+        _semantic_embeddings(spark, sf_dir), k=_KM_K, iters=_KM_ITERS,
+        min_cosine=0.99)
+
+
+def _o_semantic_dedup():
+    dot = ("list_reduce(list_transform(list_zip(a.v, b.v), "
+           "p -> p[1]*p[2]), (x,y) -> x+y)")
+
+    def norm(side):
+        return (f"sqrt(list_reduce(list_transform({side}.v, x -> x*x), "
+                f"(x,y) -> x+y))")
+
+    return f"""
+    WITH {_o_kmeans_ctes(_KM_PLANTED_SRC)},
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM a{_KM_ITERS} a JOIN a{_KM_ITERS} b
+        ON a.cl = b.cl AND a.vec_id < b.vec_id
+      WHERE round({dot} / ({norm('a')} * {norm('b')}), 6) >= 0.99),
+    dropped AS (SELECT DISTINCT id_b FROM pairs)
+    SELECT a.vec_id, CAST(a.cl AS INTEGER) AS cluster,
+           (d.id_b IS NULL) AS kept
+    FROM a{_KM_ITERS} a LEFT JOIN dropped d ON a.vec_id = d.id_b"""
+
+
+_EXTRA_QUERIES["kmeans_clusters"] = q_kmeans_clusters
+_EXTRA_QUERIES["semantic_dedup"] = q_semantic_dedup
+_EXTRA_ORACLES["kmeans_clusters"] = _o_kmeans_clusters
+_EXTRA_ORACLES["semantic_dedup"] = _o_semantic_dedup
