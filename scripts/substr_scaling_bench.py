@@ -8,14 +8,20 @@ operator, whose scale contract is ONE Θ(n) hash-keyed shuffle of
 whole story at 100 TB, so its N -> 4N behavior is the number that
 matters.
 
-Corpus: the sf0.1 documents replicated with a per-replica marker
-inserted after every ``'e'`` (``replace(text, 'e', concat('e', id))``)
-— replicas are mutually UNIQUE at the 40-gram level (no pathological
-cross-replica duplication; that regime is measured separately in
-BENCH/BASELINE.md) while each replica keeps the corpus' natural
-template near-dups, so the duplicated-span workload per replica matches
-the raw corpus.  Staged to parquet ONCE so both configs read identical
-bytes.  Prints one JSON line; paste the table into BENCH/BASELINE.md.
+Corpus: the sf0.1 documents replicated with a per-replica marker (the
+replica id, digits letter-encoded so the marker itself contains no
+trigger character) inserted after every occurrence of
+``e a o i n t <space> 0-9`` — a chain of uniform single-char
+substitutions, so equal substrings WITHIN a replica stay equal (each
+replica keeps the corpus' natural template near-dups and the
+duplicated-span workload per replica matches the raw corpus) while any
+40-gram containing at least one trigger character is replica-unique.
+A 40-char trigger-free input run would defeat that; ``stage_corpus``
+asserts the corpus has none (measured sf0.1: 0 docs — versus 1,909 of
+5,000 docs with a 40-char run free of ``'e'`` alone, which is why a
+single-char marker was not enough).  Staged to parquet ONCE so both
+configs read identical bytes.  Prints one JSON line; paste the table
+into BENCH/BASELINE.md.
 
 MACHINE MUST BE OTHERWISE IDLE.
 """
@@ -66,10 +72,23 @@ def stage_corpus(path: str) -> tuple[int, int]:
     try:
         docs = spark.read.parquet(f"{SF_DIR}/documents.parquet") \
             .select("doc_id", "text")
+        bad = docs.where(F.col("text").rlike("[^eaoint 0-9]{40}")).count()
+        if bad:
+            raise SystemExit(
+                f"{bad} docs have a 40-char trigger-free run — the "
+                f"replica-uniqueness premise does not hold; extend the "
+                f"trigger set")
         reps = spark.range(0, REPLICAS, 1, numPartitions=16)
+        # marker = letter-encoded replica id (no trigger chars inside,
+        # so later replaces in the chain never touch inserted markers)
+        marker = F.translate(F.col("id").cast("string"),
+                             "0123456789", "QWXZVKJBPG")
+        text = F.col("text")
+        for c in "eaoint 0123456789":
+            text = F.replace(text, F.lit(c), F.concat(F.lit(c), marker))
         (reps.crossJoin(F.broadcast(docs))
-         .selectExpr("concat(doc_id, '_', id) AS doc_id",
-                     "replace(text, 'e', concat('e', id)) AS text")
+         .select(F.concat_ws("_", "doc_id", "id").alias("doc_id"),
+                 text.alias("text"))
          .write.mode("overwrite").parquet(path))
         staged = spark.read.parquet(path)
         row = staged.agg(F.count("*"), F.sum(F.length("text"))).collect()[0]

@@ -345,7 +345,13 @@ def test_substr_dedup_spans_plan(spark):
     hash-keyed verdict shuffle (the algorithm's Θ(n) price) and the
     per-document island merge over duplicated positions only — and no
     raw text column ever rides an exchange (the kernel reduces text to
-    (id, pos, hash) before the first shuffle)."""
+    (id, pos, hash) before the first shuffle).  The verdict is a
+    partial-aggregated min(struct) + mark join, NOT a row_number window
+    partitioned by h (a window would single-task-sort the hottest hash
+    and AQE cannot split window partitions): partial_min runs BEFORE
+    the h exchange (hot boilerplate hashes collapse map-side) and the
+    probe side receives the tiny duplicated-hash table by broadcast —
+    the Θ(n) rows never shuffle for the mark itself."""
     from hidden_characters_detector_spark.operators import substr_dedup
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").selectExpr(
         "cast(doc_id as string) doc_id", "text")
@@ -355,6 +361,14 @@ def test_substr_dedup_spans_plan(spark):
     assert len(exchange_lines) == 2
     assert any("(h" in ln or " h#" in ln for ln in exchange_lines)
     assert all("text" not in ln for ln in exchange_lines)
+    # skew-collapse: the first-occurrence min is partial-aggregated
+    # before its exchange, and no window runs partitioned by h
+    assert "partial_min(struct(" in plan
+    assert not any("windowspecdefinition(h" in ln for ln in
+                   plan.splitlines())
+    # the mark join broadcasts the duplicated-hash table (stats-based;
+    # AQE would re-plan a too-large build side to a skew-split SMJ)
+    assert "BroadcastHashJoin [h" in plan
     # the final span aggregate reuses the per-doc partitioning — no
     # third exchange between the island window and the groupBy
     assert "Cartesian" not in plan
