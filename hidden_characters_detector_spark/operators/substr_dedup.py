@@ -17,12 +17,14 @@ Algorithm (the distributed analog of the paper's suffix-array scan):
    rolling hash the sketch family uses (``dedup._rolling_hashes`` — one
    vectorized pass per Arrow batch, duplicates kept, positions kept);
 2. a position is DUPLICATED iff its hash has an earlier occurrence in
-   global ``(doc, pos)`` order — per-hash corpus-order first occurrence
-   via a partial-aggregated ``min(struct(id, pos))``, joined back to
-   mark the rest (NOT a row_number window, which would single-task the
-   hottest hash).  The first occurrence always survives, so at least
-   one copy of every byte remains in the corpus (the paper's keep-one
-   policy);
+   global ``(doc, pos)`` order.  Two physical strategies (``mark=``):
+   ``"window"`` (default) — ``row_number() >= 2`` over a window
+   partitioned by hash, ONE exchange + one sort; ``"join"`` — a
+   partial-aggregated ``min(struct(id, pos))`` joined back, skew-proof
+   for corpora with a boilerplate k-gram hot enough to straggle the
+   window's single-task sort (tradeoff measured below).  Either way
+   the first occurrence always survives, so at least one copy of every
+   byte remains in the corpus (the paper's keep-one policy);
 3. duplicated starts cover ``[pos, pos+k)``; overlapping/adjacent
    covers merge into maximal spans per document (gaps-and-islands over
    a per-document window);
@@ -32,15 +34,21 @@ Algorithm (the distributed analog of the paper's suffix-array scan):
 
 Scale contract: the verdict for EVERY position must cross a
 hash-partitioned exchange once — ``Θ(n)`` rows of ``(id, pos, hash)``,
-~24 bytes per corpus character, through ONE physical shuffle (the
-first-occurrence aggregate and the mark join share it via exchange
-reuse, plan-asserted).  That is the distributed price of
+~24 bytes per corpus character.  That is the distributed price of
 exact-substring semantics (the single-node price in the paper is an
-8-byte/char suffix array plus a global sort — same order).  Unique
-hashes — near-all of them — don't benefit from the aggregate's
-map-side combine, but HOT hashes (corpus-wide boilerplate k-grams) do:
-they collapse to one row per map partition instead of single-tasking a
-window sort, and the mark join is AQE-skew-splittable.  Everything
+8-byte/char suffix array plus a global sort — same order).  The
+default ``mark="window"`` pays exactly that: one exchange + one
+per-partition sort; its weakness is a hash occurring M times
+corpus-wide, whose M rows sort in ONE task (a bounded straggler —
+external sort spills rather than OOMs — but a straggler).
+``mark="join"`` is skew-proof (the first-occurrence aggregate
+partial-aggregates map-side, so hot keys collapse before the
+exchange, and the mark join is broadcast or AQE-skew-split), at a
+measured ~1.7× cost on heavy-dup corpora: ``min(struct)`` plans as
+SortAggregate, so the join path sorts ~3× and exchanges 2× where the
+window sorts and exchanges once (BENCH/BASELINE.md, round 5).  Pick
+"join" when the corpus plausibly contains mega-hot boilerplate
+k-grams (raw crawls); "window" otherwise.  Everything
 after the verdict is sub-linear: marked
 positions (duplicated content only) flow through one per-document
 exchange, and the rebuild join touches only documents that own a span.
@@ -243,7 +251,7 @@ def _merge_spans(marked: DataFrame, id_col: str, k: int) -> DataFrame:
 
 def duplicated_spans(df: DataFrame, text_col: str = "text",
                      id_col: str = "doc_id", *, k: int = 40,
-                     winnow: int = 1,
+                     winnow: int = 1, mark: str = "window",
                      positions: DataFrame | None = None) -> DataFrame:
     """Maximal repeated-substring spans: ``(id, span_start, span_end)``,
     0-based half-open, covering every char that belongs to a ``k``-gram
@@ -256,6 +264,12 @@ def duplicated_spans(df: DataFrame, text_col: str = "text",
     ``winnow + k − 1`` chars is guaranteed; extents shrink and repeats
     shorter than that may be missed — see the module docstring).
 
+    ``mark``: the verdict's physical strategy — ``"window"`` (default,
+    one exchange + one sort; a mega-hot boilerplate hash becomes a
+    single-task straggler) or ``"join"`` (skew-proof partial-agg
+    min(struct) + mark join; measured ~1.7× slower on heavy-dup
+    corpora — see the module docstring).  Identical output (tested).
+
     ``positions``: pre-built :func:`position_hashes` /
     :func:`token_position_hashes` rows (pass to run span detection over
     the token table); default = the text path over ``df``.
@@ -266,30 +280,42 @@ def duplicated_spans(df: DataFrame, text_col: str = "text",
     """
     rows = (position_hashes(df, text_col, id_col, k=k, winnow=winnow)
             if positions is None else positions)
-    # verdict = "has an earlier occurrence": NOT a row_number window —
-    # partitionBy("h") would single-task-sort the hottest hash (a
-    # boilerplate k-gram repeated 10^8× corpus-wide lands on ONE task,
-    # and AQE cannot split window partitions).  Instead the corpus-order
-    # first occurrence per hash is a partial-aggregatable min(struct):
-    # map-side combine collapses hot keys before the exchange, the
-    # duplicated-hash table is tiny (dup content only), and the
-    # join-back is AQE-skew-splittable.  Both the aggregate and the
-    # join partition rows by h, so Catalyst reuses ONE physical
-    # exchange of the Θ(n) verdict rows (plan-asserted).
-    firsts = (rows.groupBy("h")
-              .agg(F.min(F.struct(id_col, "pos")).alias("_first"),
-                   F.count(F.lit(1)).alias("_n"))
-              .where(F.col("_n") >= 2)
-              .select("h", "_first"))
-    marked = (rows.join(firsts, "h")
-              .where(F.struct(id_col, "pos") != F.col("_first"))
-              .select(id_col, "pos"))
+    if mark == "window":
+        # one Θ(n) exchange + per-partition sort; a hash occurring M
+        # times sorts its M rows in ONE task (windows are not
+        # AQE-splittable), so a corpus-wide boilerplate k-gram becomes
+        # a bounded straggler (external sort spills, no OOM) — use
+        # mark="join" for corpora where that key exists.  Measured
+        # 1.7× faster than "join" at local[8] on a 120k-doc/36M-char
+        # heavy-dup corpus (see BENCH/BASELINE.md): min(struct) plans
+        # as SortAggregate, so the join path pays ~3 full sorts + 2
+        # exchanges vs this path's 1 + 1.
+        wh = Window.partitionBy("h").orderBy(id_col, "pos")
+        marked = (rows.withColumn("_rn", F.row_number().over(wh))
+                  .where(F.col("_rn") >= 2).drop("_rn", "h"))
+    elif mark == "join":
+        # skew-proof: the corpus-order first occurrence per hash is a
+        # partial-aggregatable min(struct) — map-side combine collapses
+        # hot keys before the exchange — and the mark join broadcasts
+        # the duplicated-hash table when it is small (stats/AQE decide;
+        # a heavy-dup corpus falls back to an AQE-skew-splittable SMJ).
+        # No single task ever owns a hot hash's full occurrence list.
+        firsts = (rows.groupBy("h")
+                  .agg(F.min(F.struct(id_col, "pos")).alias("_first"),
+                       F.count(F.lit(1)).alias("_n"))
+                  .where(F.col("_n") >= 2)
+                  .select("h", "_first"))
+        marked = (rows.join(firsts, "h")
+                  .where(F.struct(id_col, "pos") != F.col("_first"))
+                  .select(id_col, "pos"))
+    else:
+        raise ValueError(f"mark must be 'window' or 'join', got {mark!r}")
     return _merge_spans(marked, id_col, k)
 
 
 def remove_duplicated_spans(df: DataFrame, text_col: str = "text",
                             id_col: str = "doc_id", *, k: int = 40,
-                            winnow: int = 1,
+                            winnow: int = 1, mark: str = "window",
                             spans: DataFrame | None = None,
                             out_col: str = "text_dedup",
                             broadcast_spans: bool = True) -> DataFrame:
@@ -309,7 +335,8 @@ def remove_duplicated_spans(df: DataFrame, text_col: str = "text",
     heavily-duplicated crawl) and pay one corpus exchange instead.
     """
     if spans is None:
-        spans = duplicated_spans(df, text_col, id_col, k=k, winnow=winnow)
+        spans = duplicated_spans(df, text_col, id_col, k=k,
+                                 winnow=winnow, mark=mark)
     per_doc = (spans.groupBy(id_col)
                .agg(F.sort_array(F.collect_list(
                    F.struct("span_start", "span_end"))).alias("_spans")))

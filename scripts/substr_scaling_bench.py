@@ -8,20 +8,22 @@ operator, whose scale contract is ONE Θ(n) hash-keyed shuffle of
 whole story at 100 TB, so its N -> 4N behavior is the number that
 matters.
 
-Corpus: the sf0.1 documents replicated with a per-replica marker (the
-replica id, digits letter-encoded so the marker itself contains no
-trigger character) inserted after every occurrence of
-``e a o i n t <space> 0-9`` — a chain of uniform single-char
-substitutions, so equal substrings WITHIN a replica stay equal (each
-replica keeps the corpus' natural template near-dups and the
-duplicated-span workload per replica matches the raw corpus) while any
-40-gram containing at least one trigger character is replica-unique.
-A 40-char trigger-free input run would defeat that; ``stage_corpus``
-asserts the corpus has none (measured sf0.1: 0 docs — versus 1,909 of
-5,000 docs with a 40-char run free of ``'e'`` alone, which is why a
-single-char marker was not enough).  Staged to parquet ONCE so both
-configs read identical bytes.  Prints one JSON line; paste the table
-into BENCH/BASELINE.md.
+Corpus: the sf0.1 documents replicated with every SPACE substituted by
+a per-replica private-use character (``chr(0xE000 + replica)``) — a
+char-for-char bijection, so substring equality WITHIN a replica is
+preserved EXACTLY in both directions: each replica carries precisely
+the raw corpus' duplicated-span workload (no densification, no
+effective-window shrink), while any 40-gram containing a space is
+replica-unique.  ``stage_corpus`` asserts the two premises: no doc has
+a 40-char space-free run (measured sf0.1: 0 docs — versus 1,909 of
+5,000 with a 40-char ``'e'``-free run, which sank the first salt
+design) and no doc already contains the PUA markers.  An earlier
+insertion-based salt (marker inserted after every frequent char) kept
+within-replica equality only one-way and SHRANK the effective input
+window to ~22 chars, tripling the duplicated fraction (15.5% vs 4.7%
+raw) — substitution avoids that class entirely.  Staged to parquet
+ONCE so both configs read identical bytes.  Prints one JSON line;
+paste the table into BENCH/BASELINE.md.
 
 MACHINE MUST BE OTHERWISE IDLE.
 """
@@ -72,23 +74,23 @@ def stage_corpus(path: str) -> tuple[int, int]:
     try:
         docs = spark.read.parquet(f"{SF_DIR}/documents.parquet") \
             .select("doc_id", "text")
-        bad = docs.where(F.col("text").rlike("[^eaoint 0-9]{40}")).count()
+        bad = docs.where(F.col("text").rlike("[^ ]{40}")).count()
         if bad:
             raise SystemExit(
-                f"{bad} docs have a 40-char trigger-free run — the "
-                f"replica-uniqueness premise does not hold; extend the "
-                f"trigger set")
-        reps = spark.range(0, REPLICAS, 1, numPartitions=16)
-        # marker = letter-encoded replica id (no trigger chars inside,
-        # so later replaces in the chain never touch inserted markers)
-        marker = F.translate(F.col("id").cast("string"),
-                             "0123456789", "QWXZVKJBPG")
-        text = F.col("text")
-        for c in "eaoint 0123456789":
-            text = F.replace(text, F.lit(c), F.concat(F.lit(c), marker))
+                f"{bad} docs have a 40-char space-free run — the "
+                f"replica-uniqueness premise does not hold")
+        markers = "".join(chr(0xE000 + i) for i in range(REPLICAS))
+        taken = docs.where(F.col("text").rlike(f"[{markers}]")).count()
+        if taken:
+            raise SystemExit(
+                f"{taken} docs already contain the PUA marker chars")
+        reps = spark.createDataFrame(
+            [(i, chr(0xE000 + i)) for i in range(REPLICAS)],
+            "id long, marker string").repartition(16)
         (reps.crossJoin(F.broadcast(docs))
          .select(F.concat_ws("_", "doc_id", "id").alias("doc_id"),
-                 text.alias("text"))
+                 F.replace(F.col("text"), F.lit(" "),
+                           F.col("marker")).alias("text"))
          .write.mode("overwrite").parquet(path))
         staged = spark.read.parquet(path)
         row = staged.agg(F.count("*"), F.sum(F.length("text"))).collect()[0]

@@ -341,17 +341,12 @@ def test_unigram_logprob_model_broadcast_partial_agg(spark):
 
 
 def test_substr_dedup_spans_plan(spark):
-    """Exact-substring span detection: exactly TWO exchanges — the
-    hash-keyed verdict shuffle (the algorithm's Θ(n) price) and the
-    per-document island merge over duplicated positions only — and no
-    raw text column ever rides an exchange (the kernel reduces text to
-    (id, pos, hash) before the first shuffle).  The verdict is a
-    partial-aggregated min(struct) + mark join, NOT a row_number window
-    partitioned by h (a window would single-task-sort the hottest hash
-    and AQE cannot split window partitions): partial_min runs BEFORE
-    the h exchange (hot boilerplate hashes collapse map-side) and the
-    probe side receives the tiny duplicated-hash table by broadcast —
-    the Θ(n) rows never shuffle for the mark itself."""
+    """Exact-substring span detection (default mark="window"): exactly
+    TWO exchanges — the hash-keyed verdict shuffle (the algorithm's
+    Θ(n) price) and the per-document island merge over duplicated
+    positions only — and no raw text column ever rides an exchange
+    (the kernel reduces text to (id, pos, hash) before the first
+    shuffle)."""
     from hidden_characters_detector_spark.operators import substr_dedup
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").selectExpr(
         "cast(doc_id as string) doc_id", "text")
@@ -361,16 +356,30 @@ def test_substr_dedup_spans_plan(spark):
     assert len(exchange_lines) == 2
     assert any("(h" in ln or " h#" in ln for ln in exchange_lines)
     assert all("text" not in ln for ln in exchange_lines)
-    # skew-collapse: the first-occurrence min is partial-aggregated
-    # before its exchange, and no window runs partitioned by h
+    # the final span aggregate reuses the per-doc partitioning — no
+    # third exchange between the island window and the groupBy
+    assert "Cartesian" not in plan
+
+
+def test_substr_dedup_spans_join_mark_plan(spark):
+    """mark="join" (the skew-proof strategy for corpora with mega-hot
+    boilerplate k-grams): the first-occurrence min(struct) is
+    partial-aggregated BEFORE its exchange (hot hashes collapse
+    map-side), no window runs partitioned by h (windows are not
+    AQE-splittable), and the mark join is broadcast when the
+    duplicated-hash table is small (stats/AQE decide; a heavy-dup
+    corpus falls back to an AQE-skew-splittable SMJ)."""
+    from hidden_characters_detector_spark.operators import substr_dedup
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").selectExpr(
+        "cast(doc_id as string) doc_id", "text")
+    plan = _plan(substr_dedup.duplicated_spans(docs, k=40, mark="join"))
     assert "partial_min(struct(" in plan
     assert not any("windowspecdefinition(h" in ln for ln in
                    plan.splitlines())
-    # the mark join broadcasts the duplicated-hash table (stats-based;
-    # AQE would re-plan a too-large build side to a skew-split SMJ)
     assert "BroadcastHashJoin [h" in plan
-    # the final span aggregate reuses the per-doc partitioning — no
-    # third exchange between the island window and the groupBy
+    exchange_lines = [ln for ln in plan.splitlines()
+                      if "Exchange hashpartitioning" in ln]
+    assert all("text" not in ln for ln in exchange_lines)
     assert "Cartesian" not in plan
 
 

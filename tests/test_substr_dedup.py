@@ -228,3 +228,14 @@ def test_span_bounds_inside_documents(spark, corpus):
                        | (F.col("span_end") > F.col("_len"))
                        | (F.col("span_end") - F.col("span_start") < K))
     assert bad.count() == 0
+
+
+def test_mark_strategies_identical(spark, corpus):
+    """mark="window" (default) and mark="join" (skew-proof) are two
+    physical strategies for the same verdict — identical spans."""
+    a = sorted(map(tuple, sd.duplicated_spans(corpus, k=K).collect()))
+    b = sorted(map(tuple, sd.duplicated_spans(corpus, k=K,
+                                              mark="join").collect()))
+    assert a == b
+    with __import__("pytest").raises(ValueError, match="mark"):
+        sd.duplicated_spans(corpus, k=K, mark="sort")
