@@ -2640,3 +2640,141 @@ _EXTRA_QUERIES["kmeans_clusters"] = q_kmeans_clusters
 _EXTRA_QUERIES["semantic_dedup"] = q_semantic_dedup
 _EXTRA_ORACLES["kmeans_clusters"] = _o_kmeans_clusters
 _EXTRA_ORACLES["semantic_dedup"] = _o_semantic_dedup
+
+
+# =========================================================================
+# DSIR importance resampling (target-domain upweighting)
+# =========================================================================
+_DSIR_SALT = "dsir"
+_DSIR_K = 25
+_LN2_LIT = "0.6931471805599453"   # repr(math.log(2.0)) — embedded so both
+#                                   engines use the identical double
+
+
+def _dsir_inputs(spark, sf_dir):
+    """(docs, target_model, raw_model, target_total, raw_total): the
+    target domain is the corpus' own wiki slice — deterministic, no
+    external data — and both models are top-100 word heads with TRUE
+    totals (the un-truncated denominators, mirroring unigram_logprob)."""
+    from hidden_characters_detector_spark.operators import text_analysis
+    docs = _table(spark, sf_dir, "documents").selectExpr(
+        "cast(doc_id as string) AS doc_id", "text", "source")
+    def head(wc):
+        total = wc.agg(F.sum("cnt")).collect()[0][0] or 1
+        return (wc.orderBy(F.col("cnt").desc(), F.col("word").asc())
+                .limit(100), int(total))
+    target, t_tot = head(text_analysis.word_counts(
+        docs.where(F.col("source") == "wiki")))
+    raw, r_tot = head(text_analysis.word_counts(docs))
+    return docs.select("doc_id", "text"), target, raw, t_tot, r_tot
+
+
+def q_dsir_weights(spark, sf_dir):
+    """DSIR importance weights (``importance.log2_ratio_weights``): per
+    doc the log2 likelihood ratio of its words under a target-domain
+    (wiki-slice) unigram model vs the raw-corpus model — the ranking
+    signal of importance resampling.  Model lookups are broadcast; the
+    per-doc reduce is the only wide shuffle (plan-asserted); per-word
+    ratios are rounded to 6 decimals and summed as DECIMAL (exact,
+    order-independent — the unigram_logprob protocol)."""
+    from hidden_characters_detector_spark.operators import importance
+    docs, target, raw, t_tot, r_tot = _dsir_inputs(spark, sf_dir)
+    return importance.log2_ratio_weights(
+        docs, target, raw, target_total=t_tot, raw_total=r_tot)
+
+
+def q_dsir_sample(spark, sf_dir):
+    """Gumbel-top-k importance resample (``importance.dsir_sample``):
+    the k=25 docs ranked by ``ln w + Gumbel`` with the noise a pure
+    function of (doc_id, salt) — a without-replacement draw with
+    probability ∝ the importance weight, reproducible under any
+    partitioning; plans as TakeOrdered (no full sort shuffle)."""
+    from hidden_characters_detector_spark.operators import importance
+    docs, target, raw, t_tot, r_tot = _dsir_inputs(spark, sf_dir)
+    return importance.dsir_sample(
+        docs, target, raw, k=_DSIR_K, target_total=t_tot,
+        raw_total=r_tot, salt=_DSIR_SALT)
+
+
+def _o_dsir_weight_ctes() -> str:
+    """CTE chain computing (doc_id, n_words, log2_ratio_sum,
+    log2_ratio_per_word) — the exact arithmetic replica of
+    ``importance.log2_ratio_weights`` over the wiki-target/raw models."""
+    return """
+    docs AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id, text, source
+             FROM documents),
+    w AS (
+      SELECT doc_id, x AS word
+      FROM docs, unnest(list_filter(
+          regexp_split_to_array(lower(COALESCE(text, '')), '[^a-z0-9]+'),
+          x -> x <> '')) AS t(x)),
+    tw AS (
+      SELECT doc_id, x AS word
+      FROM docs, unnest(list_filter(
+          regexp_split_to_array(lower(COALESCE(text, '')), '[^a-z0-9]+'),
+          x -> x <> '')) AS t(x)
+      WHERE source = 'wiki'),
+    twc AS (SELECT word, CAST(count(*) AS BIGINT) AS cnt
+            FROM tw GROUP BY word),
+    rwc AS (SELECT word, CAST(count(*) AS BIGINT) AS cnt
+            FROM w GROUP BY word),
+    ttot AS (SELECT CAST(COALESCE(sum(cnt), 1) AS DOUBLE) AS total
+             FROM twc),
+    rtot AS (SELECT CAST(COALESCE(sum(cnt), 1) AS DOUBLE) AS total
+             FROM rwc),
+    tmodel AS (SELECT word, cnt FROM twc
+               ORDER BY cnt DESC, word ASC LIMIT 100),
+    rmodel AS (SELECT word, cnt FROM rwc
+               ORDER BY cnt DESC, word ASC LIMIT 100),
+    j AS (
+      SELECT d.doc_id, w.word, tm.cnt AS tc, rm.cnt AS rc
+      FROM docs d
+      LEFT JOIN w ON w.doc_id = d.doc_id
+      LEFT JOIN tmodel tm ON tm.word = w.word
+      LEFT JOIN rmodel rm ON rm.word = w.word),
+    pd AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN word IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_words,
+             CAST(sum(CASE WHEN word IS NOT NULL THEN
+                 CAST(round(
+                     (log2(CAST(COALESCE(tc, 1) AS DOUBLE))
+                      - log2((SELECT total FROM ttot)))
+                     - (log2(CAST(COALESCE(rc, 1) AS DOUBLE))
+                        - log2((SELECT total FROM rtot))), 6)
+                      AS DECIMAL(18,6)) END) AS DOUBLE) AS sb
+      FROM j GROUP BY doc_id),
+    weights AS (
+      SELECT doc_id, n_words,
+             round(COALESCE(sb, 0.0), 6) AS log2_ratio_sum,
+             CASE WHEN n_words > 0
+                  THEN round(COALESCE(sb, 0.0)
+                             / CAST(n_words AS DOUBLE), 6)
+                  ELSE 0.0 END AS log2_ratio_per_word
+      FROM pd)"""
+
+
+def _o_dsir_weights():
+    return f"""
+    WITH {_o_dsir_weight_ctes()}
+    SELECT doc_id, n_words, log2_ratio_sum, log2_ratio_per_word
+    FROM weights"""
+
+
+def _o_dsir_sample():
+    u = _o_hash_unit("doc_id", _DSIR_SALT)
+    key = (f"round(log2_ratio_sum * {_LN2_LIT} "
+           f"- ln(-ln({u} + 1.0/8589934592.0)), 6)")
+    return f"""
+    WITH {_o_dsir_weight_ctes()}
+    SELECT doc_id, n_words, log2_ratio_sum, log2_ratio_per_word,
+           {key} AS sample_key
+    FROM weights
+    ORDER BY sample_key DESC, doc_id
+    LIMIT {_DSIR_K}"""
+
+
+_EXTRA_QUERIES["dsir_weights"] = q_dsir_weights
+_EXTRA_QUERIES["dsir_sample"] = q_dsir_sample
+_EXTRA_ORACLES["dsir_weights"] = _o_dsir_weights
+_EXTRA_ORACLES["dsir_sample"] = _o_dsir_sample

@@ -33,6 +33,9 @@ Stages, in curation order (each independently switchable):
                              the LONGEST member per group (keeper
                              election; --near-threshold)
  6. decontamination        — drop docs sharing char k-grams with --eval
+ 6b. DSIR resampling       — keep the --dsir-k docs most like the
+                             --dsir-target domain (Gumbel-top-k over the
+                             target-vs-raw unigram log-likelihood ratio)
  7. temperature mixing     — n^alpha source rebalance (--mix-alpha,
                              --mix-budget)
  8. split / epoch shuffle  — deterministic train/test tag + per-epoch
@@ -68,6 +71,11 @@ def main() -> None:
     ap.add_argument("--eval", default=None, metavar="DIR",
                     help="eval-benchmark parquet (doc_id, text); enables "
                          "decontamination")
+    ap.add_argument("--dsir-target", default=None, metavar="DIR",
+                    help="target-domain parquet (doc_id, text); enables "
+                         "DSIR importance resampling")
+    ap.add_argument("--dsir-k", type=int, default=None,
+                    help="number of docs the DSIR resample keeps")
     ap.add_argument("--master", default=None)
     ap.add_argument("--quality-min", type=float, default=0.9,
                     help="minimum heuristic quality score (0 disables the "
@@ -147,7 +155,7 @@ def main() -> None:
     spark = b.getOrCreate()
 
     from hidden_characters_detector_spark.operators import (
-        decontam, dedup, line_dedup, sampling, text_analysis)
+        decontam, dedup, importance, line_dedup, sampling, text_analysis)
     from hidden_characters_detector_spark.operators.clean import (
         clean_documents)
 
@@ -270,6 +278,30 @@ def main() -> None:
         cur = decontam.decontaminate(cur, evl, k=args.decontam_k,
                                      min_hits=args.decontam_min_hits)
         note("decontaminate", cur)
+    # 6b. DSIR target-domain importance resampling: keep the --dsir-k
+    # docs that look most like the --dsir-target domain (Gumbel-top-k
+    # over the target-vs-raw unigram log-likelihood ratio).  The keep
+    # set is k ids — a broadcast semi-join, the corpus never shuffles
+    if args.dsir_target:
+        if args.dsir_k is None:
+            raise SystemExit("--dsir-target requires --dsir-k")
+        tgt = spark.read.parquet(args.dsir_target).select(id_col, "text")
+
+        def model_head(wc):
+            total = wc.agg(F.sum("cnt")).collect()[0][0] or 1
+            return (wc.orderBy(F.col("cnt").desc(), F.col("word").asc())
+                    .limit(args.vocab_k), int(total))
+
+        t_model, t_tot = model_head(text_analysis.word_counts(tgt))
+        r_model, r_tot = model_head(text_analysis.word_counts(cur))
+        keep = importance.dsir_sample(
+            cur, t_model, r_model, k=args.dsir_k,
+            target_total=t_tot, raw_total=r_tot).select(id_col)
+        cur = cur.join(F.broadcast(keep), id_col, "left_semi")
+        # same lineage-truncation rationale as the unigram stage: the
+        # raw model + weights reference the corpus several times
+        cur = cur.localCheckpoint()
+        note("dsir_resample", cur)
     # 7. temperature-based source rebalancing (needs the source column)
     if args.mix_alpha is not None:
         if args.mix_budget is None:

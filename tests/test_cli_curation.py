@@ -114,6 +114,25 @@ def test_cli_curation_end_to_end(spark, tmp_path):
     assert counts2["decontaminate"] == 6       # leaked doc 5 dropped
     assert counts2["written"] == counts2["temperature_mix"] <= 6
 
+    # third run: --dsir-target/--dsir-k — the stage keeps exactly k docs
+    # (the Gumbel-top-k draw; WHICH k is the weights' business, the CLI
+    # contract is the count and a clean write)
+    out3 = str(tmp_path / "curated_dsir")
+    res3 = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "run_curation.py"),
+         "--input", src, "--output", out3,
+         "--dsir-target", evl, "--dsir-k", "3",
+         "--master", "local[2]"],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=600)
+    assert res3.returncode == 0, res3.stderr[-4000:]
+    line3 = [ln for ln in res3.stdout.splitlines()
+             if ln.startswith("CURATION ")][0]
+    counts3 = json.loads(line3[len("CURATION "):])
+    assert counts3["exact_dedup"] == 7
+    assert counts3["dsir_resample"] == 3
+    assert counts3["written"] == 3
+    assert spark.read.parquet(out3).count() == 3
+
 
 def test_cli_curation_substring_dedup(spark, tmp_path):
     """Isolated --substr-k run: the later copy of a cross-document
