@@ -2778,3 +2778,72 @@ _EXTRA_QUERIES["dsir_weights"] = q_dsir_weights
 _EXTRA_QUERIES["dsir_sample"] = q_dsir_sample
 _EXTRA_ORACLES["dsir_weights"] = _o_dsir_weights
 _EXTRA_ORACLES["dsir_sample"] = _o_dsir_sample
+
+
+# =========================================================================
+# cross-snapshot Bloom-filter membership (operators/bloom.py)
+# =========================================================================
+_BLOOM_M, _BLOOM_K = 1 << 14, 5
+
+
+def q_bloom_dedup(spark, sf_dir):
+    """Cross-snapshot dedup membership via a broadcast Bloom filter
+    (``operators.bloom``): the history split's text keys compress into an
+    m-bit filter in ONE narrow pass (positions explode map-side, each
+    partition ships one m/8-byte partial bitset, the driver ORs them — no
+    key ever moves), then every document probes the filter JVM-side (the
+    bitset rides the plan as a binary literal; the bit test is pure
+    codegen, zero shuffle, zero Python).  History rows prove the
+    no-false-negative contract (all must probe true); the new split
+    exercises the negative/false-positive path.  The oracle replicates
+    the md5 double-hashing position arithmetic digit-for-digit and
+    evaluates membership against the history's distinct position set —
+    equal to the bitset semantics by construction."""
+    from hidden_characters_detector_spark.operators import bloom
+    docs = _table(spark, sf_dir, "documents").select("doc_id", "text")
+    hist = docs.where(F.col("doc_id") % 10 != 7)
+    bits = bloom.bloom_build(hist, "text", m=_BLOOM_M, k=_BLOOM_K)
+    out = bloom.bloom_might_contain(docs, bits, "text",
+                                    m=_BLOOM_M, k=_BLOOM_K)
+    return out.select("doc_id",
+                      (F.col("doc_id") % 10 != 7).alias("is_history"),
+                      "might_contain")
+
+
+def _o_hex_fold(hx_expr: str, start: int) -> str:
+    """DuckDB replica of ``bloom._hex_fold``: 8 hex digits of a digest
+    column folded to BIGINT (the ``_o_hash_unit`` arithmetic, offset-
+    parametrized)."""
+    def dig(i):
+        a = f"ascii(substr({hx_expr}, {i + 1}, 1))"
+        return f"(CASE WHEN {a} <= 57 THEN {a} - 48 ELSE {a} - 87 END)"
+
+    v = f"CAST({dig(start)} AS BIGINT)"
+    for i in range(start + 1, start + 8):
+        v = f"({v} * 16 + {dig(i)})"
+    return v
+
+
+def _o_bloom_dedup():
+    h1 = _o_hex_fold("hx", 0)
+    h2 = _o_hex_fold("hx", 8)
+    return f"""
+    WITH kx AS (
+      SELECT doc_id, (doc_id % 10 <> 7) AS is_history,
+             md5(coalesce(text, '') || '|bloom') AS hx
+      FROM documents),
+    hh AS (
+      SELECT doc_id, is_history, {h1} AS h1, {h2} AS h2 FROM kx),
+    pos AS (
+      SELECT doc_id, is_history,
+             (h1 + CAST(u.i AS BIGINT) * (2 * h2 + 1)) % {_BLOOM_M} AS p
+      FROM hh, unnest(range(0, {_BLOOM_K})) AS u(i)),
+    hist AS (SELECT DISTINCT p FROM pos WHERE is_history)
+    SELECT pos.doc_id, pos.is_history,
+           bool_and(hist.p IS NOT NULL) AS might_contain
+    FROM pos LEFT JOIN hist ON pos.p = hist.p
+    GROUP BY pos.doc_id, pos.is_history"""
+
+
+_EXTRA_QUERIES["bloom_dedup"] = q_bloom_dedup
+_EXTRA_ORACLES["bloom_dedup"] = _o_bloom_dedup
