@@ -2847,3 +2847,67 @@ def _o_bloom_dedup():
 
 _EXTRA_QUERIES["bloom_dedup"] = q_bloom_dedup
 _EXTRA_ORACLES["bloom_dedup"] = _o_bloom_dedup
+
+
+# =========================================================================
+# cross-boundary block packing (operators/packing.py::pack_blocks)
+# =========================================================================
+def q_pack_blocks(spark, sf_dir):
+    """GPT-style block packing (``operators.packing.pack_blocks``): every
+    doc's tokens concatenate in doc_id order and the stream cuts into
+    512-token blocks CROSSING document boundaries — zero padding, only
+    the corpus tail block short.  Offsets come from the two-level
+    (bucketed) cumsum so no task sorts the corpus; docs explode to one
+    row per TOUCHED block; token payload crosses exactly one exchange.
+    The oracle replicates the offset arithmetic with a serial window
+    cumsum (provably equal to the bucketed decomposition) and the same
+    slice bounds, then value-checks per-block scalars (length, doc span,
+    token sum, endpoints) so assembly order is under the hash gate."""
+    from hidden_characters_detector_spark.operators import packing
+    docs = _table(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = tokenize(docs)
+    blocks = packing.pack_blocks(tok, block=512)
+    return blocks.select(
+        "block_id", "n_tokens", "n_docs", "first_doc", "last_doc",
+        F.aggregate("tokens", F.lit(0).cast("long"),
+                    lambda a, x: a + x).alias("token_sum"),
+        F.element_at("tokens", 1).cast("long").alias("first_tok"),
+        F.element_at("tokens", -1).cast("long").alias("last_tok"))
+
+
+def _o_pack_blocks():
+    return """
+    WITH tok AS (
+      SELECT doc_id,
+             list_transform(range(1, length(text) + 1),
+                 i -> unicode(substr(text, CAST(i AS INTEGER), 1))) AS ts,
+             CAST(length(text) AS BIGINT) AS n
+      FROM documents WHERE length(text) > 0),
+    off AS (
+      SELECT doc_id, ts, n,
+             CAST(sum(n) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+                  - n AS BIGINT) AS o
+      FROM tok),
+    sp AS (
+      SELECT doc_id, ts, n, o, CAST(b.b AS BIGINT) AS block_id
+      FROM off, unnest(range(o // 512, (o + n - 1) // 512 + 1)) AS b(b)),
+    sl AS (
+      SELECT block_id, doc_id, o,
+             list_slice(ts, greatest(block_id * 512 - o, 0) + 1,
+                        least((block_id + 1) * 512, o + n) - o) AS ck
+      FROM sp),
+    g AS (
+      SELECT block_id, CAST(count(*) AS BIGINT) AS n_docs,
+             min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+             flatten(list(ck ORDER BY o)) AS toks
+      FROM sl GROUP BY block_id)
+    SELECT block_id, CAST(len(toks) AS BIGINT) AS n_tokens, n_docs,
+           first_doc, last_doc,
+           CAST(list_sum(toks) AS BIGINT) AS token_sum,
+           CAST(toks[1] AS BIGINT) AS first_tok,
+           CAST(toks[-1] AS BIGINT) AS last_tok
+    FROM g"""
+
+
+_EXTRA_QUERIES["pack_blocks"] = q_pack_blocks
+_EXTRA_ORACLES["pack_blocks"] = _o_pack_blocks

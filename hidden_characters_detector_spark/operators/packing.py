@@ -20,6 +20,18 @@ Two shapes every tokenized-corpus pipeline needs before training:
   windows of ``chunk`` tokens advancing by ``chunk - overlap`` (sliding
   context windows).  Pure per-row JVM higher-order functions (sequence →
   explode → slice): no Python, no shuffle, embarrassingly parallel.
+
+* :func:`pack_blocks` — the third shape, and the one GPT-style
+  pretraining loaders actually consume: concatenate EVERY document's
+  tokens in a deterministic global order and cut the stream into
+  fixed-size blocks that cross document boundaries (no padding at all;
+  only the final block is short).  The global token offset comes from a
+  two-level cumsum — contiguous id-range buckets keep the within-bucket
+  running total parallel while the bucket-level prefix is a tiny
+  #buckets-row fold — so no single task ever sorts the corpus; each doc
+  then emits one row per block its span touches (``n_docs +
+  n_tokens/block`` rows, NOT per-token explosion) and blocks reassemble
+  with ONE shuffle on the block id.
 """
 
 from __future__ import annotations
@@ -152,6 +164,104 @@ def padding_waste(df: DataFrame, size_col: str = "n_tok", *,
                 / slots.cast("double"), 6).alias("waste_frac"),
         (F.col("n_tokens") - F.col("n_tokens_kept"))
         .alias("n_tokens_truncated"))
+
+
+def global_exclusive_cumsum(df: DataFrame, order_col: str = "doc_id",
+                            size_col: str = "n_tok", *,
+                            ids_per_bucket: int = 1 << 20,
+                            out_col: str = "offset") -> DataFrame:
+    """Exclusive running total of ``size_col`` over the global
+    ``order_col`` order, WITHOUT a global single-partition window.
+
+    ``order_col`` must be a unique non-negative integer id.  The id space
+    splits into contiguous ranges (``id div ids_per_bucket``), so every
+    id in bucket *i* precedes every id in bucket *i+1*: the global cumsum
+    decomposes into (a) a per-bucket running total — an ordinary
+    partitioned window, parallel across buckets — plus (b) the sum of all
+    earlier buckets' totals — a bucket-level exclusive cumsum over
+    ``#buckets`` rows, evaluated in one tiny single-partition window (at
+    10^12 ids and the default bucket width that is ~10^6 rows of two
+    longs — driver-trivial, data-independent).  The distributed
+    prefix-sum shape, expressed declaratively so Catalyst/AQE own the
+    physical plan.
+    """
+    b = (F.col(order_col).cast("long") / F.lit(ids_per_bucket)) \
+        .cast("long").alias("__bucket")
+    with_b = df.withColumn("__bucket", b)
+    wi = (Window.partitionBy("__bucket").orderBy(order_col)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    within = (F.coalesce(F.sum(size_col).over(wi), F.lit(0))
+              - F.col(size_col)).cast("long")
+    totals = with_b.groupBy("__bucket").agg(
+        F.sum(size_col).cast("long").alias("__btotal"))
+    wb = (Window.orderBy("__bucket")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    prefix = totals.select(
+        "__bucket",
+        (F.coalesce(F.sum("__btotal").over(wb), F.lit(0))
+         - F.col("__btotal")).cast("long").alias("__bprefix"))
+    return (with_b.join(F.broadcast(prefix), "__bucket")
+            .withColumn(out_col, (F.col("__bprefix") + within))
+            .drop("__bucket", "__bprefix"))
+
+
+def pack_blocks(df: DataFrame, tokens_col: str = "tokens",
+                id_col: str = "doc_id", *, block: int = 2048,
+                ids_per_bucket: int = 1 << 20) -> DataFrame:
+    """Concatenate all documents' tokens in ascending ``id_col`` order
+    and cut the stream into consecutive ``block``-token blocks that CROSS
+    document boundaries (zero padding; only the last block of the corpus
+    is short).  To shuffle the training order first, renumber ids by an
+    epoch key (``sampling.epoch_shuffle``) upstream — the id order IS the
+    concatenation order.
+
+    Deterministic and partitioning-independent: a doc whose span is
+    ``[offset, offset + n)`` contributes ``tokens[a:b]`` to every block
+    whose ``[block_id*block, (block_id+1)*block)`` range it overlaps.
+    Empty docs contribute nothing.  Output: one row per block —
+    ``block_id``, the assembled ``tokens``, ``n_tokens``, ``n_docs``,
+    ``first_doc``, ``last_doc``.
+
+    Scale shape: offsets via :func:`global_exclusive_cumsum` on the
+    narrow (id, size) projection; each doc explodes to one row per
+    TOUCHED block (``n_docs + n_tokens/block`` rows, never per-token);
+    token payload crosses exactly ONE exchange (the block regroup), and
+    within a block the fragments reassemble by an ``array_sort`` on the
+    carried offset — no second sort pass.
+    """
+    if block <= 0:
+        raise ValueError("block must be positive")
+    n = F.size(tokens_col).cast("long")
+    base = df.select(id_col, tokens_col).where(n > 0) \
+        .withColumn("__n", n)
+    off = global_exclusive_cumsum(base, id_col, "__n",
+                                  ids_per_bucket=ids_per_bucket,
+                                  out_col="__off")
+    first_b = (F.col("__off") / F.lit(block)).cast("long")
+    last_b = ((F.col("__off") + F.col("__n") - 1) / F.lit(block)) \
+        .cast("long")
+    spans = off.select(
+        id_col, tokens_col, "__n", "__off",
+        F.explode(F.sequence(first_b, last_b)).alias("block_id"))
+    lo = F.greatest(F.col("block_id") * block - F.col("__off"), F.lit(0))
+    hi = F.least((F.col("block_id") + 1) * block,
+                 F.col("__off") + F.col("__n")) - F.col("__off")
+    frags = spans.select(
+        "block_id", F.col(id_col).alias("__doc"), "__off",
+        F.slice(tokens_col, (lo + 1).cast("int"),
+                (hi - lo).cast("int")).alias("__frag"))
+    assembled = (frags.groupBy("block_id")
+                 .agg(F.count("*").cast("long").alias("n_docs"),
+                      F.min("__doc").alias("first_doc"),
+                      F.max("__doc").alias("last_doc"),
+                      F.flatten(F.transform(
+                          F.array_sort(F.collect_list(
+                              F.struct("__off", "__frag"))),
+                          lambda s: s["__frag"])).alias(tokens_col)))
+    return assembled.select(
+        "block_id", tokens_col,
+        F.size(tokens_col).cast("long").alias("n_tokens"),
+        "n_docs", "first_doc", "last_doc")
 
 
 def chunk_tokens(df: DataFrame, tokens_col: str = "tokens",
