@@ -2911,3 +2911,45 @@ def _o_pack_blocks():
 
 _EXTRA_QUERIES["pack_blocks"] = q_pack_blocks
 _EXTRA_ORACLES["pack_blocks"] = _o_pack_blocks
+
+
+# =========================================================================
+# BPE merge-pair counting (operators/text_analysis.py::pair_counts)
+# =========================================================================
+def q_bpe_pairs(spark, sf_dir):
+    """Distributed BPE merge-candidate selection
+    (``text_analysis.top_pairs``): the corpus's 50 most frequent adjacent
+    token pairs — the counting half of a BPE vocabulary-learning round.
+    Pairs build from two shifted slices via ``zip_with`` (JVM HOFs, no
+    Python), partial-aggregate before the single pair shuffle (exchange
+    bounded by the live bigram set, not the corpus), and the top-k plans
+    as TakeOrdered with a deterministic (count desc, a, b) tiebreak so
+    the cutoff is stable across engines."""
+    from hidden_characters_detector_spark.operators import text_analysis
+    docs = _table(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = tokenize(docs)
+    return text_analysis.top_pairs(tok, k=50).select(
+        F.col("token_a").cast("long").alias("token_a"),
+        F.col("token_b").cast("long").alias("token_b"),
+        "n_occurrences")
+
+
+def _o_bpe_pairs():
+    return """
+    WITH tok AS (
+      SELECT list_transform(range(1, length(text) + 1),
+                 i -> unicode(substr(text, CAST(i AS INTEGER), 1))) AS ts,
+             CAST(length(text) AS BIGINT) AS n
+      FROM documents WHERE length(text) >= 2),
+    p AS (
+      SELECT ts[CAST(i AS INTEGER)] AS a, ts[CAST(i AS INTEGER) + 1] AS b
+      FROM tok, unnest(range(1, n)) AS u(i))
+    SELECT CAST(a AS BIGINT) AS token_a, CAST(b AS BIGINT) AS token_b,
+           CAST(count(*) AS BIGINT) AS n_occurrences
+    FROM p GROUP BY a, b
+    ORDER BY n_occurrences DESC, a, b
+    LIMIT 50"""
+
+
+_EXTRA_QUERIES["bpe_pairs"] = q_bpe_pairs
+_EXTRA_ORACLES["bpe_pairs"] = _o_bpe_pairs

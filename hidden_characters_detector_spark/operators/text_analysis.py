@@ -179,6 +179,43 @@ def token_histogram(df: DataFrame, tokens_col: str = "tokens") -> DataFrame:
             .agg(F.count("*").cast("long").alias("n_occurrences")))
 
 
+def pair_counts(df: DataFrame, tokens_col: str = "tokens") -> DataFrame:
+    """Adjacent-token-pair census — the merge-selection inner step of
+    BPE/WordPiece vocabulary learning, distributed: one row per distinct
+    ``(a, b)`` bigram with its corpus occurrence count (a BPE round picks
+    the argmax and re-tokenizes; this operator is the expensive counting
+    half, the re-tokenize is a map).  Pairs never cross doc boundaries.
+
+    Same scale shape as :func:`token_histogram`: ``zip_with`` over two
+    shifted slices builds the pair structs per row (JVM higher-order
+    functions, no Python), the explode is a Generate, and a partial
+    HashAggregate runs BEFORE the single exchange — the shuffle carries
+    per-partition distinct pairs (≤ vocab², in practice the corpus's
+    live bigram set), not the corpus."""
+    t = F.col(tokens_col)
+    n = F.size(t)
+    pairs = F.zip_with(
+        F.slice(t, F.lit(1), n - 1), F.slice(t, F.lit(2), n - 1),
+        lambda a, b: F.struct(a.alias("a"), b.alias("b")))
+    return (df.where(n >= 2)
+            .select(F.explode(pairs).alias("p"))
+            .select(F.col("p.a").alias("token_a"),
+                    F.col("p.b").alias("token_b"))
+            .groupBy("token_a", "token_b")
+            .agg(F.count("*").cast("long").alias("n_occurrences")))
+
+
+def top_pairs(df: DataFrame, tokens_col: str = "tokens", *,
+              k: int = 50) -> DataFrame:
+    """The ``k`` most frequent adjacent pairs (the BPE merge
+    candidates), deterministically tie-broken by (token_a, token_b) so
+    the cutoff is stable across engines and partitionings.  Plans as
+    TakeOrdered over the pair census — never a full sort."""
+    return (pair_counts(df, tokens_col)
+            .orderBy(F.desc("n_occurrences"), "token_a", "token_b")
+            .limit(k))
+
+
 def vocab_stats(df: DataFrame, tokens_col: str = "tokens") -> DataFrame:
     """One-row corpus vocabulary profile: total tokens, vocab size, the
     modal token's count, and unigram entropy in bits

@@ -814,3 +814,31 @@ def test_unigram_logprob_hand_computed(spark):
     wc = {r["word"]: r["cnt"] for r in
           text_analysis.word_counts(docs).collect()}
     assert wc == {"aa": 3, "bb": 1, "zz": 1}
+
+
+def test_pair_counts_hand_computed(spark):
+    """Adjacent-pair census (the BPE merge-counting step) vs hand
+    arithmetic: pairs never cross doc boundaries, short/empty docs emit
+    nothing, and the plan keeps the wordcount scale shape (partial
+    aggregate before the single pair shuffle; top-k plans as
+    TakeOrdered, not a global sort)."""
+    from hidden_characters_detector_spark.operators import text_analysis
+
+    df = spark.createDataFrame(
+        [("a", [1, 2, 1, 2]), ("b", [2, 1]), ("c", [7]), ("d", [])],
+        "doc_id string, tokens array<int>")
+    got = {(r.token_a, r.token_b): r.n_occurrences for r in
+           text_analysis.pair_counts(df).collect()}
+    assert got == {(1, 2): 2, (2, 1): 2}
+
+    top = text_analysis.top_pairs(df, k=1).collect()
+    # tie on count=2 -> deterministic (a, b) tiebreak picks (1, 2)
+    assert [(r.token_a, r.token_b) for r in top] == [(1, 2)]
+
+    plan = (text_analysis.pair_counts(df)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "partial_count" in plan
+    assert plan.count("Exchange hashpartitioning(token_a") == 1
+    tplan = (text_analysis.top_pairs(df, k=5)
+             ._jdf.queryExecution().executedPlan().toString())
+    assert "TakeOrderedAndProject" in tplan
