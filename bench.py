@@ -241,7 +241,47 @@ def bench_packing(spark, tok):
                       F.avg("n_docs")).collect()
         return a + b
 
-    return {"pack_chunk": q_pack_chunk}
+    def q_block_pack():
+        # cross-boundary block packing: the whole 600k-doc token stream
+        # (~180M tokens) re-cut into 2048-token blocks — bucketed cumsum
+        # on the narrow projection + ONE token-bearing exchange.
+        # token_table ids are 'doc<N>' strings; strip the prefix for the
+        # integer order key pack_blocks requires
+        blocks = packing.pack_blocks(
+            tok.selectExpr("CAST(substr(doc_id, 4) AS LONG) AS doc_id",
+                           "tokens"),
+            block=2048)
+        return blocks.agg(F.count("*"), F.sum("n_tokens"),
+                          F.max("n_docs")).collect()
+
+    return {"pack_chunk": q_pack_chunk, "block_pack": q_block_pack}
+
+
+def bench_bloom(spark, cpus: int):
+    """Cross-snapshot Bloom membership: build the m-bit filter over a
+    150k-doc replicated corpus (per-partition bitsets OR'd on the
+    driver), then probe every doc through the broadcast Arrow path —
+    the two passes a 100 TB history-dedup actually pays."""
+    from pyspark.sql import functions as F
+
+    from hidden_characters_detector_spark.operators import bloom
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet") \
+        .select("doc_id", "text")
+    reps = spark.range(0, 30, 1, numPartitions=2 * cpus)
+    corpus = (reps.crossJoin(F.broadcast(docs))
+              .selectExpr("concat(doc_id, '_', id) AS doc_id",
+                          "concat(id, '_', text) AS text")
+              .localCheckpoint())
+
+    def q_bloom_e2e():
+        m, k = 1 << 21, 5  # ~14 bits/key at 150k keys -> FP ~1e-2
+        bits = bloom.bloom_build(corpus, "text", m=m, k=k)
+        out = bloom.bloom_might_contain_py(corpus, bits, "text", m=m, k=k)
+        return out.agg(F.count("*"),
+                       F.sum(F.col("might_contain").cast("long"))).collect()
+
+    return {"bloom_e2e": q_bloom_e2e}
 
 
 def main() -> None:
@@ -254,6 +294,7 @@ def main() -> None:
         qs.update(bench_dedup(spark, CPUS))
         qs.update(bench_packing(spark, tok))
         qs.update(bench_curation(spark, CPUS))
+        qs.update(bench_bloom(spark, CPUS))
         for _ in range(WARMUP_ROUNDS):  # fault worker heaps, off the clock
             for fn in qs.values():
                 fn()

@@ -19,13 +19,20 @@ from pyspark.sql import functions as F
 
 def hash_unit(id_col: str | Column, salt: int | str) -> Column:
     """Uniform [0, 1) value from the first 8 hex digits of
-    ``md5(id || '|' || salt)`` — exact in float64 (integer / 2^32)."""
+    ``md5(id || '|' || salt)`` — exact in float64 (integer / 2^32).
+
+    The hex prefix parses as ONE base conversion rather than a per-digit
+    CASE-chain fold: the fold computes the identical number, but it
+    embeds the md5 subtree in every conditional branch and codegen's
+    subexpression elimination skips branches, so the digest was
+    re-hashed 8x per row (measured 6x slower in the same-shaped bloom
+    kernel).  The DuckDB oracles keep the digit-fold arithmetic
+    (``__spark_entry__._o_hash_unit``); the values are equal by
+    definition."""
     col = F.col(id_col) if isinstance(id_col, str) else id_col
     hx = F.md5(F.concat(col.cast("string"), F.lit(f"|{salt}")))
-    v = F.lit(0).cast("long")  # 8 hex digits exceed int32 (ANSI overflow)
-    for i in range(8):
-        a = F.ascii(F.substring(hx, i + 1, 1))
-        v = v * 16 + F.when(a <= 57, a - 48).otherwise(a - 87)
+    # 8 hex digits exceed int32 (ANSI overflow) — parse through BIGINT
+    v = F.conv(F.substring(hx, 1, 8), 16, 10).cast("long")
     return v.cast("double") / F.lit(4294967296.0)
 
 

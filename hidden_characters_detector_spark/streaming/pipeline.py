@@ -277,6 +277,7 @@ def single_pass_pipeline(spark: SparkSession, input_path: str, out_dir: str,
                          trigger_available_now: bool = True,
                          quarantine: bool = True,
                          decontam_eval=None, decontam_k: int = 20,
+                         history_bloom: tuple[bytes, int, int] | None = None,
                          query_name: str = "hcd-pipeline"):
     """The full reference dataflow as ONE streaming query, cleaning each
     micro-batch exactly once.
@@ -355,6 +356,27 @@ def single_pass_pipeline(spark: SparkSession, input_path: str, out_dir: str,
             F.sum(F.col("contaminated").cast("long"))
             .alias("n_contaminated"))
         tok = marked.where(~F.col("contaminated")).drop("contaminated")
+    if history_bloom is not None:
+        # cross-snapshot ingestion dedup: drop sequences whose token
+        # array is already in the PREVIOUS snapshot's Bloom filter
+        # (``(bits, m, k)`` from ``bloom.bloom_build`` keyed on
+        # ``cast(tokens as string)``).  Zero false negatives — nothing
+        # already trained on re-enters; false positives drop a few novel
+        # rows, the safe direction.  The probe is a stateless codegen
+        # projection (bit tests against the plan-literal bitset), so it
+        # drops into the stream unchanged; it complements
+        # ``dropDuplicatesWithinWatermark``, which bounds WITHIN-stream
+        # duplicate state but cannot see prior runs.
+        from ..operators.bloom import bloom_might_contain
+        h_bits, h_m, h_k = history_bloom
+        gated = bloom_might_contain(
+            tok, h_bits, F.col("tokens").cast("string"),
+            m=h_m, k=h_k, out_col="__in_history")
+        gated = gated.observe(
+            "history_metrics",
+            F.sum(F.col("__in_history").cast("long"))
+            .alias("n_history_dropped"))
+        tok = gated.where(~F.col("__in_history")).drop("__in_history")
     reason = F.col(QUARANTINE_REASON_COL)
     # bad rows flow through the kernel untouched: the Arrow kernel treats a
     # NULL token list as empty (operators.clean._flat_tokens), so no
@@ -407,6 +429,20 @@ def single_pass_pipeline(spark: SparkSession, input_path: str, out_dir: str,
                 bad = (mark_contaminated(bad, decontam_eval, k=decontam_k)
                        .where(~F.col("contaminated"))
                        .drop("contaminated"))
+            if history_bloom is not None:
+                # same commute argument as the decontam gate above: the
+                # stream-side history filter ran BEFORE quarantine
+                # marking, so the raw re-scan must drop in-history rows
+                # too or the quarantine dir would disagree with the
+                # n_quarantined observed metric (and resurrect rows the
+                # ingestion policy already excluded)
+                from ..operators.bloom import bloom_might_contain
+                h_bits, h_m, h_k = history_bloom
+                bad = (bloom_might_contain(
+                           bad, h_bits, F.col("tokens").cast("string"),
+                           m=h_m, k=h_k, out_col="__in_history")
+                       .where(~F.col("__in_history"))
+                       .drop("__in_history"))
             # ONE raw scan: write unconditionally (deterministic per batch
             # — fixed WAL file set — so the overwrite stays idempotent
             # under replay), then drop the dir again if the batch was

@@ -32,6 +32,12 @@ Stages, in curation order (each independently switchable):
  5b. near-dup dedup        — LSH → verify → groups (--near-dedup), keep
                              the LONGEST member per group (keeper
                              election; --near-threshold)
+ 5c. history dedup         — drop docs whose text may already be in the
+                             PREVIOUS snapshot (--history: broadcast
+                             Bloom membership — zero false negatives,
+                             FP rate set by --bloom-bits-per-key; the
+                             cross-run dedup that never joins against
+                             the history corpus)
  6. decontamination        — drop docs sharing char k-grams with --eval
  6b. DSIR resampling       — keep the --dsir-k docs most like the
                              --dsir-target domain (Gumbel-top-k over the
@@ -39,7 +45,10 @@ Stages, in curation order (each independently switchable):
  7. temperature mixing     — n^alpha source rebalance (--mix-alpha,
                              --mix-budget)
  8. split / epoch shuffle  — deterministic train/test tag + per-epoch
-                             permutation, written partitioned by shard
+                             permutation, written partitioned by shard;
+                             or ``--blocks N``: tokenize and write
+                             cross-boundary N-token training blocks
+                             (GPT loader shape) instead of documents
 
 Every stage is the operator the test suite and driver contract gate —
 this script only composes them.  Prints one JSON line of per-stage
@@ -106,6 +115,20 @@ def main() -> None:
                          "guaranteeing detection of repeats >= W+K-1)")
     ap.add_argument("--exact-dedup", default=True,
                     action=argparse.BooleanOptionalAction)
+    ap.add_argument("--history", default=None, metavar="DIR",
+                    help="previous-snapshot parquet with a text column; "
+                         "drops docs whose cleaned text may already be in "
+                         "it (Bloom membership: zero false negatives; "
+                         "false positives re-drop a few novel docs — the "
+                         "safe direction for training data)")
+    ap.add_argument("--bloom-bits-per-key", type=float, default=12.0,
+                    help="filter size per history key for --history "
+                         "(12 bits/key ~= 0.3%% false-positive rate)")
+    ap.add_argument("--blocks", type=int, default=None,
+                    help="tokenize the curated docs and write "
+                         "cross-boundary training blocks of this many "
+                         "tokens (doc_id order) instead of documents; "
+                         "incompatible with --epoch/--train-frac")
     ap.add_argument("--near-dedup", action="store_true",
                     help="near-dup grouping (LSH->verify->CC) with "
                          "longest-member keeper election")
@@ -272,6 +295,23 @@ def main() -> None:
         cur = dedup.drop_non_representatives(cur, groups, reps)
         release += [groups, reps]
         note("near_dedup", cur)
+    # 5c. cross-snapshot history dedup: drop docs whose text may already
+    # be in the previous snapshot.  Bloom membership has NO false
+    # negatives (nothing already in history survives) and the false
+    # positives re-drop a few novel docs — the safe direction for
+    # training data.  The history corpus itself never joins or
+    # shuffles: one narrow build pass, then a broadcast probe.
+    if args.history:
+        from hidden_characters_detector_spark.operators import bloom
+        hist = spark.read.parquet(args.history).select("text")
+        n_hist = hist.count()
+        bpk = args.bloom_bits_per_key
+        m = max(64, (int(n_hist * bpk) + 7) & ~7)  # byte-aligned
+        k = max(1, min(16, round(bpk * 0.6931)))   # ln2 * bits/key
+        bits = bloom.bloom_build(hist, "text", m=m, k=k)
+        cur = (bloom.bloom_might_contain_py(cur, bits, "text", m=m, k=k)
+               .where(~F.col("might_contain")).drop("might_contain"))
+        note("history_dedup", cur)
     # 6. decontamination
     if args.eval:
         evl = spark.read.parquet(args.eval).select(id_col, "text")
@@ -321,16 +361,33 @@ def main() -> None:
             mixed, src_counts, alpha=args.mix_alpha,
             total_budget=args.mix_budget).drop("source")
         note("temperature_mix", cur)
-    # 8. split / epoch order / write
-    if args.train_frac is not None:
-        cur = sampling.train_test_split(cur, train_frac=args.train_frac)
-    writer_df = cur
-    partition_cols: list[str] = []
-    if args.epoch is not None:
-        writer_df = sampling.epoch_shuffle(cur, args.epoch,
-                                           n_shards=args.shards)
-        if args.shards:
-            partition_cols = ["shard"]
+    # 8. split / epoch order / write — documents, or --blocks N: tokenize
+    # and cut the corpus into cross-boundary N-token training blocks
+    # (pack_blocks packs in doc_id order; shuffling means renumbering ids
+    # upstream, so the order/split flags are rejected rather than
+    # silently ignored)
+    if args.blocks is not None:
+        if args.epoch is not None or args.train_frac is not None:
+            raise SystemExit("--blocks is incompatible with --epoch/"
+                             "--train-frac (blocks pack in doc_id order "
+                             "and carry no per-doc split)")
+        from hidden_characters_detector_spark.operators import packing
+        from hidden_characters_detector_spark.operators.text_ops import (
+            tokenize)
+        tok = tokenize(cur.select(id_col, "text"))
+        writer_df = packing.pack_blocks(tok, block=args.blocks)
+        partition_cols: list[str] = []
+    else:
+        if args.train_frac is not None:
+            cur = sampling.train_test_split(cur,
+                                            train_frac=args.train_frac)
+        writer_df = cur
+        partition_cols = []
+        if args.epoch is not None:
+            writer_df = sampling.epoch_shuffle(cur, args.epoch,
+                                               n_shards=args.shards)
+            if args.shards:
+                partition_cols = ["shard"]
     w = writer_df.write.mode("overwrite")
     if partition_cols:
         w = w.partitionBy(*partition_cols)

@@ -91,6 +91,16 @@ def main() -> None:
                          "are dropped at ingestion (stateless broadcast "
                          "gate, n_contaminated observed metric)")
     ap.add_argument("--decontam-k", type=int, default=20)
+    ap.add_argument("--history", default=None, metavar="DIR",
+                    help="token-table parquet of a PREVIOUS snapshot: "
+                         "sequences whose token arrays are already in it "
+                         "are dropped at ingestion via a broadcast Bloom "
+                         "filter (zero false negatives; false positives "
+                         "drop a few novel rows — the safe direction; "
+                         "n_history_dropped observed metric)")
+    ap.add_argument("--history-bits-per-key", type=float, default=12.0,
+                    help="Bloom filter size per history key "
+                         "(12 bits/key ~= 0.3%% false-positive rate)")
     ap.add_argument("--dict-stream", default=None, metavar="DIR",
                     help="directory of confusable-dictionary update files "
                          "(parquet, schema sources.confusable_dict."
@@ -155,6 +165,19 @@ def main() -> None:
             spark, spark.read.parquet(args.decontam_eval),
             k=args.decontam_k)
 
+    history_bloom = None
+    if args.history:
+        from pyspark.sql import functions as F
+
+        from hidden_characters_detector_spark.operators import bloom
+        hist = spark.read.parquet(args.history).select(
+            F.col("tokens").cast("string").alias("key"))
+        n_hist = hist.count()
+        bpk = args.history_bits_per_key
+        m = max(64, (int(n_hist * bpk) + 7) & ~7)  # byte-aligned
+        k = max(1, min(16, round(bpk * 0.6931)))   # ln2 * bits/key
+        history_bloom = (bloom.bloom_build(hist, "key", m=m, k=k), m, k)
+
     if args.sink == "iceberg":
         # surfaces a clear error + recipe when the jars are absent
         from pyspark.sql import functions as F
@@ -178,6 +201,19 @@ def main() -> None:
                 .alias("n_contaminated"))
             tok = (marked.where(~F.col("contaminated"))
                    .drop("contaminated"))
+        if history_bloom is not None:
+            # same no-silent-no-op rule as the decontam gate
+            from hidden_characters_detector_spark.operators.bloom import (
+                bloom_might_contain)
+            h_bits, h_m, h_k = history_bloom
+            gated = bloom_might_contain(
+                tok, h_bits, F.col("tokens").cast("string"),
+                m=h_m, k=h_k, out_col="__in_history")
+            gated = gated.observe(
+                "history_metrics",
+                F.sum(F.col("__in_history").cast("long"))
+                .alias("n_history_dropped"))
+            tok = gated.where(~F.col("__in_history")).drop("__in_history")
         q = iceberg_sink(pipeline.clean_stream(tok, cfg), args.output,
                          os.path.join(args.checkpoint, "sink"),
                          trigger_available_now=args.available_now,
@@ -191,6 +227,7 @@ def main() -> None:
             trigger_available_now=args.available_now,
             quarantine=args.quarantine,
             decontam_eval=decontam_bc, decontam_k=args.decontam_k,
+            history_bloom=history_bloom,
             query_name="cleaned-sink")
 
     # optional CEP branches: each is an independent streaming query over

@@ -190,3 +190,67 @@ def test_cli_curation_substring_dedup(spark, tmp_path):
     assert by_id2[2] == rows[1][1]           # untouched
     assert len(by_id2[3]) < len(rows[2][1])  # repeat detected and cut
     assert "segundo distinto3" in by_id2[3]  # unique flanks survive
+
+
+def test_cli_curation_history_and_blocks(spark, tmp_path):
+    """--history drops docs whose cleaned text is already in the previous
+    snapshot (Bloom membership: the overlap doc must go — no false
+    negatives); --blocks writes cross-boundary token blocks instead of
+    documents (full blocks except the corpus tail; --epoch rejected)."""
+    src = str(tmp_path / "docs")
+    histdir = str(tmp_path / "history")
+    out = str(tmp_path / "curated_hist")
+    rows = [(i, _doc(i)) for i in range(6)]
+    spark.createDataFrame(rows, "doc_id long, text string") \
+        .write.parquet(src)
+    # history = doc 2's CURATED text: after the clean + line-dedup stages
+    # doc 2 loses the shared footer, so the history fixture must hold the
+    # post-curation form (build it by running the pipeline once on doc 2
+    # alone would drag in min_docs effects; instead disable line dedup so
+    # the curated text == raw text and history can be the raw doc)
+    spark.createDataFrame([(100, _doc(2))], "doc_id long, text string") \
+        .write.parquet(histdir)
+
+    env = dict(os.environ, SPARK_GRAFT_SHUFFLE="2")
+    res = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "run_curation.py"),
+         "--input", src, "--output", out, "--history", histdir,
+         "--no-line-dedup", "--master", "local[2]"],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=600)
+    assert res.returncode == 0, res.stderr[-4000:]
+    line = [ln for ln in res.stdout.splitlines()
+            if ln.startswith("CURATION ")][0]
+    counts = json.loads(line[len("CURATION "):])
+    assert counts["input"] == 6
+    assert counts["history_dedup"] == 5       # doc 2 is in the snapshot
+    assert counts["written"] == 5
+    got = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert got == {0, 1, 3, 4, 5}
+
+    # blocks mode: every block full except the tail; token stream length
+    # equals the sum of curated doc lengths
+    outb = str(tmp_path / "blocks")
+    resb = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "run_curation.py"),
+         "--input", src, "--output", outb, "--no-line-dedup",
+         "--blocks", "64", "--master", "local[2]"],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=600)
+    assert resb.returncode == 0, resb.stderr[-4000:]
+    blocks = spark.read.parquet(outb).orderBy("block_id").collect()
+    sizes = [r["n_tokens"] for r in blocks]
+    assert all(s == 64 for s in sizes[:-1]) and 0 < sizes[-1] <= 64
+    total = sum(sizes)
+    lineb = [ln for ln in resb.stdout.splitlines()
+             if ln.startswith("CURATION ")][0]
+    countsb = json.loads(lineb[len("CURATION "):])
+    assert countsb["written"] == len(blocks)
+
+    # --blocks with --epoch is a configuration error, not a silent drop
+    rese = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "run_curation.py"),
+         "--input", src, "--output", str(tmp_path / "never"),
+         "--blocks", "64", "--epoch", "1", "--master", "local[2]"],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=600)
+    assert rese.returncode != 0
+    assert "incompatible" in (rese.stderr + rese.stdout)
+    assert total > 0

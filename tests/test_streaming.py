@@ -1039,6 +1039,61 @@ def test_single_pass_pipeline_decontam_gate(spark, tmp_path):
     assert rec.observed("clean_metrics", "n_quarantined") == 1
 
 
+def test_single_pass_pipeline_history_bloom_gate(spark, tmp_path):
+    """Cross-snapshot ingestion dedup: rows whose token arrays are in the
+    previous snapshot's Bloom filter never reach the kernel or the clean
+    sink (zero false negatives by construction), the drop count surfaces
+    as an observed metric, and a history row that is ALSO quarantine-bad
+    reaches neither sink (the raw quarantine re-scan honors the gate)."""
+    from pyspark.sql import functions as F
+
+    from hidden_characters_detector_spark.operators import bloom
+
+    old_toks = [ord(c) for c in "THE PREVIOUS SNAPSHOT SEQUENCE AAAA"]
+    new_toks = [ord(c) for c in "abcdefghijklmnopqrstuvwxyz012345"]
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    os.makedirs(src)
+    now = time.time()
+    _write_file(spark, [_row("fresh", new_toks, "web", _mins(0)),
+                        _row("seen", old_toks, "web", _mins(1)),
+                        # in-history AND quarantine-bad (null time):
+                        # must reach NEITHER sink
+                        ("seenbad", old_toks, len(old_toks), "web", None),
+                        # bad-but-novel: still quarantined as usual
+                        ("b_time", new_toks, len(new_toks) + 1, "web",
+                         _mins(2))],
+                os.path.join(src, "f1"), now - 300)
+    hist = spark.createDataFrame([("h0", old_toks)],
+                                 "doc_id string, tokens array<int>")
+    m, k = 1 << 12, 5
+    bits = bloom.bloom_build(
+        hist.select(F.col("tokens").cast("string").alias("key")),
+        "key", m=m, k=k)
+
+    rec = ProgressRecorder()
+    spark.streams.addListener(rec)
+    try:
+        q = pipeline.single_pass_pipeline(spark, src, out,
+                                          str(tmp_path / "ck"),
+                                          history_bloom=(bits, m, k))
+        q.awaitTermination(120)
+    finally:
+        spark.streams.removeListener(rec)
+
+    sink = read_sink(spark, os.path.join(out, "cleaned"))
+    assert {r["doc_id"] for r in sink.collect()} == {"fresh"}
+    quar = {r["doc_id"]: r["quarantine_reason"]
+            for r in pipeline.read_quarantine(spark, out).collect()}
+    assert quar == {"b_time": "n_tok_mismatch"}   # seenbad in NO sink
+    deadline = time.time() + 30
+    while (rec.observed("history_metrics", "n_history_dropped") < 2
+           and time.time() < deadline):
+        time.sleep(0.5)
+    assert rec.observed("history_metrics", "n_history_dropped") == 2
+    assert rec.observed("clean_metrics", "n_quarantined") == 1
+
+
 def test_sink_scheme_guard_and_file_uri_normalization(spark, tmp_path):
     """The parquet manifest sink is the documented POSIX local-mode
     stand-in for Iceberg: a file:// output URI normalizes and works end
