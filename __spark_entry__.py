@@ -2642,6 +2642,160 @@ _EXTRA_ORACLES["kmeans_clusters"] = _o_kmeans_clusters
 _EXTRA_ORACLES["semantic_dedup"] = _o_semantic_dedup
 
 
+_IVF_NPROBE = 3     # partial probe (3 of the 8 lists) — the oracle
+#                     replicates the probe ranking, so recall is
+#                     parity-checked, not assumed
+
+
+def q_ann_topk_ivf(spark, sf_dir):
+    """IVF ANN (k-means coarse quantizer, FAISS IndexIVFFlat shape):
+    exact cosine top-10 over the ``nprobe=3`` of 8 inverted lists whose
+    centroids are nearest the query — the data-adaptive complement of
+    ``ann_topk_lsh``.  The oracle replicates quantizer training, probe
+    ranking and scoring end-to-end (``similarity.ivf_topk``)."""
+    from hidden_characters_detector_spark.operators import similarity
+    emb = _table(spark, sf_dir, "embeddings")
+    out = similarity.ivf_topk(emb, _ann_query_vec(), k=10,
+                              n_lists=_KM_K, nprobe=_IVF_NPROBE,
+                              iters=_KM_ITERS)
+    return out.select("vec_id", F.round("cosine", 4).alias("cosine"))
+
+
+def _o_ann_topk_ivf():
+    vec = "[" + ", ".join(f"{x!r}" for x in _ann_query_vec()) + "]"
+    # same dim-order IEEE folds as the kmeans chain: the probe ranking and
+    # the scoring reuse the sequential list_reduce accumulation that is
+    # bit-identical to the Arrow kernel / JVM aggregate() fold
+    dist = ("list_reduce(list_transform(list_zip(qv, c.v), "
+            "p -> (p[1]-p[2])*(p[1]-p[2])), (x,y) -> x+y)")
+    dot = ("list_reduce(list_transform(list_zip(v, qv), "
+           "p -> p[1]*p[2]), (x,y) -> x+y)")
+    vnorm = "sqrt(list_reduce(list_transform(v, x -> x*x), (x,y) -> x+y))"
+    last_c = _KM_ITERS - 1
+    return f"""
+    WITH {_o_kmeans_ctes(_KM_PLAIN_SRC)},
+    q AS (SELECT CAST({vec} AS DOUBLE[]) AS qv),
+    ranked AS (
+      SELECT cl, row_number() OVER (ORDER BY {dist}, cl) AS rn
+      FROM c{last_c} c, q),
+    cand AS (
+      SELECT a.vec_id, a.v FROM a{_KM_ITERS} a
+      JOIN (SELECT cl FROM ranked WHERE rn <= {_IVF_NPROBE}) p
+        ON a.cl = p.cl),
+    s AS (
+      SELECT vec_id,
+             {dot} / ({vnorm} * sqrt(list_dot_product(qv, qv))) AS cos
+      FROM cand, q)
+    SELECT vec_id, round(round(cos, 6), 4) AS cosine
+    FROM s ORDER BY round(cos, 6) DESC, vec_id LIMIT 10"""
+
+
+_EXTRA_QUERIES["ann_topk_ivf"] = q_ann_topk_ivf
+_EXTRA_ORACLES["ann_topk_ivf"] = _o_ann_topk_ivf
+
+
+def q_ann_batch_ivf(spark, sf_dir):
+    """Batch ANN: a query table (every 97th vector) against the IVF
+    index — per query, exact cosine top-5 over its 3 nearest inverted
+    lists (``similarity.ivf_batch_topk``; cluster-equi join, never
+    all-pairs).  The oracle replicates quantizer, per-query probe
+    ranking, scoring and ranking end-to-end."""
+    from hidden_characters_detector_spark.operators import similarity
+    emb = _table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 97 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    out = similarity.ivf_batch_topk(
+        emb, queries, k=5, n_lists=_KM_K, nprobe=_IVF_NPROBE,
+        iters=_KM_ITERS)
+    return out.select("query_id", "vec_id",
+                      F.round("cosine", 4).alias("cosine"), "rank")
+
+
+def _o_ann_batch_ivf():
+    dist = ("list_reduce(list_transform(list_zip(qv, c.v), "
+            "p -> (p[1]-p[2])*(p[1]-p[2])), (x,y) -> x+y)")
+    dot = ("list_reduce(list_transform(list_zip(qv, v), "
+           "p -> p[1]*p[2]), (x,y) -> x+y)")
+    qn = "sqrt(list_reduce(list_transform(qv, x -> x*x), (x,y) -> x+y))"
+    vn = "sqrt(list_reduce(list_transform(v, x -> x*x), (x,y) -> x+y))"
+    last_c = _KM_ITERS - 1
+    return f"""
+    WITH {_o_kmeans_ctes(_KM_PLAIN_SRC)},
+    qs AS (
+      SELECT vec_id AS query_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> round(x, 6)) AS qv
+      FROM embeddings WHERE vec_id % 97 = 0),
+    pr AS (
+      SELECT query_id, qv, cl,
+             row_number() OVER (PARTITION BY query_id
+                 ORDER BY {dist}, cl) AS rn
+      FROM qs, c{last_c} c),
+    cand AS (
+      SELECT p.query_id, p.qv, a.vec_id, a.v
+      FROM (SELECT query_id, qv, cl FROM pr
+            WHERE rn <= {_IVF_NPROBE}) p
+      JOIN a{_KM_ITERS} a ON a.cl = p.cl),
+    s AS (
+      SELECT query_id, vec_id,
+             CASE WHEN {qn} * {vn} > 0
+                  THEN round({dot} / ({qn} * {vn}), 6) END AS cosine
+      FROM cand),
+    r AS (
+      SELECT query_id, vec_id, cosine,
+             CAST(row_number() OVER (PARTITION BY query_id
+                  ORDER BY cosine DESC, vec_id) AS BIGINT) AS "rank"
+      FROM s WHERE cosine IS NOT NULL)
+    SELECT query_id, vec_id, round(cosine, 4) AS cosine, "rank"
+    FROM r WHERE "rank" <= 5"""
+
+
+_EXTRA_QUERIES["ann_batch_ivf"] = q_ann_batch_ivf
+_EXTRA_ORACLES["ann_batch_ivf"] = _o_ann_batch_ivf
+
+
+def q_tfidf_terms(spark, sf_dir):
+    """Per-source characteristic terms by smoothed tf-idf
+    (``text_analysis.tfidf_terms``): top-15 words per source ranked by
+    ``tf · (ln((1+S)/(1+df)) + 1)`` rounded to 6 decimals — the
+    corpus-profiling report behind mixture design.  The oracle replicates
+    the word split, both aggregations and the one-op-sequence idf
+    arithmetic."""
+    from hidden_characters_detector_spark.operators import text_analysis
+    docs = _table(spark, sf_dir, "documents")
+    return text_analysis.tfidf_terms(docs, top=15)
+
+
+def _o_tfidf_terms():
+    return """
+    WITH w AS (
+      SELECT source, x AS word
+      FROM documents, unnest(list_filter(
+          regexp_split_to_array(lower(COALESCE(text, '')), '[^a-z0-9]+'),
+          x -> x <> '')) AS t(x)),
+    tf AS (SELECT source, word, CAST(count(*) AS BIGINT) AS tf
+           FROM w GROUP BY source, word),
+    dfq AS (SELECT word, CAST(count(*) AS BIGINT) AS dfc
+            FROM tf GROUP BY word),
+    s AS (SELECT CAST(count(DISTINCT source) AS DOUBLE) AS ns
+          FROM documents),
+    scored AS (
+      SELECT tf.source, tf.word,
+             round(tf.tf * (ln((1.0 + ns) / (1.0 + dfc)) + 1.0), 6)
+                 AS tfidf
+      FROM tf JOIN dfq ON tf.word = dfq.word, s),
+    ranked AS (
+      SELECT source, word, tfidf,
+             CAST(row_number() OVER (PARTITION BY source
+                  ORDER BY tfidf DESC, word) AS BIGINT) AS "rank"
+      FROM scored)
+    SELECT source, word, tfidf, "rank" FROM ranked WHERE "rank" <= 15"""
+
+
+_EXTRA_QUERIES["tfidf_terms"] = q_tfidf_terms
+_EXTRA_ORACLES["tfidf_terms"] = _o_tfidf_terms
+
+
 # =========================================================================
 # DSIR importance resampling (target-domain upweighting)
 # =========================================================================

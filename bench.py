@@ -209,6 +209,15 @@ def bench_curation(spark, cpus: int):
         out = decontam.contamination_report(corpus, evl, k=20)
         return out.agg(F.count("*"), F.sum("n_hits")).collect()
 
+    def q_tfidf():
+        # per-source characteristic terms over the replicated corpus:
+        # explode -> two vocab-bounded partial aggs -> idf join -> top-k
+        from hidden_characters_detector_spark.operators import text_analysis
+        out = text_analysis.tfidf_terms(
+            corpus.withColumn("source", F.expr("'s' || (length(doc_id) % 4)")),
+            top=20)
+        return out.agg(F.count("*"), F.sum("tfidf")).collect()
+
     def q_substr_dedup():
         # ExactSubstr span removal over the RAW corpus (natural template
         # dups only — the replicated corpus is a 97%-duplicate
@@ -221,7 +230,29 @@ def bench_curation(spark, cpus: int):
                        F.sum(F.length("text_dedup"))).collect()
 
     return {"line_dedup": q_line_dedup, "decontam": q_decontam,
-            "substr_dedup": q_substr_dedup}
+            "tfidf": q_tfidf, "substr_dedup": q_substr_dedup}
+
+
+def bench_ann(spark, cpus: int):
+    """Batch IVF ANN: k-means coarse quantizer over the embeddings table,
+    then every 10th vector as a query — probe assignment, cluster-equi
+    candidate join, per-query top-10 (the realistic query-table-vs-index
+    similarity-search shape)."""
+    from pyspark.sql import functions as F
+
+    from hidden_characters_detector_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet") \
+        .select("vec_id", "embedding").localCheckpoint()
+
+    def q_ann_ivf_batch():
+        queries = emb.where("vec_id % 10 = 0").selectExpr(
+            "vec_id AS query_id", "embedding")
+        out = similarity.ivf_batch_topk(emb, queries, k=10, nprobe=3,
+                                        iters=2)
+        return out.agg(F.count("*"), F.sum("rank")).collect()
+
+    return {"ann_ivf_batch": q_ann_ivf_batch}
 
 
 def bench_packing(spark, tok):
@@ -295,6 +326,7 @@ def main() -> None:
         qs.update(bench_packing(spark, tok))
         qs.update(bench_curation(spark, CPUS))
         qs.update(bench_bloom(spark, CPUS))
+        qs.update(bench_ann(spark, CPUS))
         for _ in range(WARMUP_ROUNDS):  # fault worker heaps, off the clock
             for fn in qs.values():
                 fn()

@@ -154,27 +154,20 @@ def _update(assigned: DataFrame, centroids: np.ndarray) -> np.ndarray:
     return out
 
 
-def kmeans_assign(df: DataFrame, *, vec_col: str = "embedding",
-                  id_col: str = "vec_id", k: int | None = None,
-                  iters: int = 3, n_vectors: int | None = None,
-                  target_cluster_size: int = 200,
-                  materialize: bool = True
-                  ) -> tuple[DataFrame, DataFrame | None]:
-    """Lloyd's k-means over an embedding column; returns
-    ``(assigned, cache_handle)`` where ``assigned`` carries the input id,
-    the 6-decimal-rounded vector ``v`` and ``cluster: int``.
-
-    ``iters`` counts ASSIGNMENT passes (updates happen between them), so
-    the output is the assignment under the ``iters-1``-times-updated
-    centroids — exactly what the unrolled oracle CTE chain computes.
-
-    With ``materialize=True`` (default) the rounded projection is
-    persisted for the iteration loop; the CALLER owns the returned
-    handle and must ``.unpersist()`` it when done with the result
-    (same contract as ``dedup.minhash_signatures``).  Pass
-    ``materialize=False`` to trade ``iters`` extra scans for zero cache
-    footprint.
-    """
+def kmeans_fit(df: DataFrame, *, vec_col: str = "embedding",
+               id_col: str = "vec_id", k: int | None = None,
+               iters: int = 3, n_vectors: int | None = None,
+               target_cluster_size: int = 200,
+               materialize: bool = True
+               ) -> tuple[DataFrame, np.ndarray, DataFrame | None]:
+    """:func:`kmeans_assign` plus the FITTED CENTROIDS — the ``(k, dim)``
+    float64 array the final assignment pass used (i.e. the
+    ``iters-1``-times-updated centroids, coordinates already 6-decimal
+    values).  The centroid table is the coarse-quantizer "index" an IVF
+    search ranks query probes against (`similarity.ivf_topk`); it is
+    O(k·dim) driver-side data, never a distributed object.  Returns
+    ``(assigned, centroids, cache_handle)``; same cache contract as
+    :func:`kmeans_assign`."""
     if iters < 1:
         raise ValueError("iters must be >= 1")
     pts = _rounded_vectors(df, id_col, vec_col)
@@ -203,6 +196,34 @@ def kmeans_assign(df: DataFrame, *, vec_col: str = "embedding",
     for _ in range(iters - 1):
         centroids = _update(assigned, centroids)
         assigned = _assign(pts, centroids, id_field)
+    return assigned, centroids, handle
+
+
+def kmeans_assign(df: DataFrame, *, vec_col: str = "embedding",
+                  id_col: str = "vec_id", k: int | None = None,
+                  iters: int = 3, n_vectors: int | None = None,
+                  target_cluster_size: int = 200,
+                  materialize: bool = True
+                  ) -> tuple[DataFrame, DataFrame | None]:
+    """Lloyd's k-means over an embedding column; returns
+    ``(assigned, cache_handle)`` where ``assigned`` carries the input id,
+    the 6-decimal-rounded vector ``v`` and ``cluster: int``.
+
+    ``iters`` counts ASSIGNMENT passes (updates happen between them), so
+    the output is the assignment under the ``iters-1``-times-updated
+    centroids — exactly what the unrolled oracle CTE chain computes.
+
+    With ``materialize=True`` (default) the rounded projection is
+    persisted for the iteration loop; the CALLER owns the returned
+    handle and must ``.unpersist()`` it when done with the result
+    (same contract as ``dedup.minhash_signatures``).  Pass
+    ``materialize=False`` to trade ``iters`` extra scans for zero cache
+    footprint.
+    """
+    assigned, _, handle = kmeans_fit(
+        df, vec_col=vec_col, id_col=id_col, k=k, iters=iters,
+        n_vectors=n_vectors, target_cluster_size=target_cluster_size,
+        materialize=materialize)
     return assigned, handle
 
 

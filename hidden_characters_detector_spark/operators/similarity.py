@@ -109,6 +109,180 @@ def lsh_cosine_topk(df: DataFrame, query: Sequence[float], *,
     return cosine_topk(cand, query, vec_col=vec_col, id_col=id_col, k=k)
 
 
+def rank_ivf_lists(centroids: np.ndarray, query: Sequence[float],
+                   nprobe: int) -> list[int]:
+    """The ``nprobe`` IVF lists (cluster ids) nearest the query, ranked by
+    squared distance ACCUMULATED DIM-BY-DIM IN DIM ORDER — the same IEEE
+    multiply-add sequence as ``clustering._assign`` and DuckDB's
+    sequential ``list_reduce`` fold, so the probe set is bit-identical
+    across engines (exact distance ties break to the smaller list id,
+    also in both).  Driver-side O(k·dim) numpy — the centroid table is
+    the tiny half of an IVF index."""
+    q = np.asarray(list(query), dtype=np.float64)
+    k, dim = centroids.shape
+    if q.size != dim:
+        raise ValueError(f"query dim {q.size} != centroid dim {dim}")
+    acc = np.zeros(k, dtype=np.float64)
+    for j in range(dim):
+        d = q[j] - centroids[:, j]
+        acc += d * d
+    order = sorted(range(k), key=lambda c: (acc[c], c))
+    return order[:max(0, min(nprobe, k))]
+
+
+def ivf_topk(df: DataFrame, query: Sequence[float], *,
+             vec_col: str = "embedding", id_col: str = "vec_id",
+             k: int = 10, n_lists: int | None = None, nprobe: int = 2,
+             iters: int = 3, n_vectors: int | None = None,
+             target_cluster_size: int = 200) -> DataFrame:
+    """IVF (inverted-file) ANN: a k-means coarse quantizer partitions the
+    corpus into ``n_lists`` inverted lists; a query scores EXACT cosine
+    against only the ``nprobe`` lists whose centroids are nearest — the
+    FAISS ``IndexIVFFlat`` shape, and the other classical ANN family next
+    to :func:`lsh_cosine_topk` (data-adaptive Voronoi cells vs
+    data-oblivious hyperplanes; IVF wins when the corpus is clustered,
+    which embedding corpora are).
+
+    Scale shape: the quantizer is ``clustering.kmeans_fit`` (assignment =
+    vectorized Arrow passes, centroid update ships only k×(dim+1)
+    partial-aggregated sums; ``n_lists`` self-sizes via ``auto_k`` so list
+    occupancy stays ~``target_cluster_size`` at ANY corpus size).  At
+    100 TB the assignment is computed ONCE and stored partitioned by
+    ``cluster`` — the probe's ``cluster IN (...)`` predicate then
+    partition-prunes the scan to ``nprobe/n_lists`` of the corpus; the
+    centroid table is O(n_lists·dim) driver-side.  The scoring pass is
+    JVM-codegen cosine + ``TakeOrdered`` (no global sort), identical to
+    :func:`cosine_topk`.
+
+    Exhaustive-probe contract (the provable-correctness anchor, same as
+    the LSH path): ``nprobe >= n_lists`` probes every list, so the result
+    EQUALS brute force over the quantizer's 6-decimal-rounded vectors —
+    asserted in pytest; the driver contract row uses a PARTIAL probe whose
+    oracle replicates quantizer + probe ranking + scoring end-to-end
+    (recall is parity-checked, not assumed).
+
+    Determinism: centroids follow ``clustering``'s cross-engine protocol;
+    probe ranking is :func:`rank_ivf_lists` (dim-order folds, id
+    tiebreak); cosine is scored on the quantizer's rounded vectors and
+    rounded to 6 decimals before the (cosine DESC, id) top-k order.
+    """
+    from . import clustering
+
+    assigned, centroids, _ = clustering.kmeans_fit(
+        df.select(id_col, vec_col), vec_col=vec_col, id_col=id_col,
+        k=n_lists, iters=iters, n_vectors=n_vectors,
+        target_cluster_size=target_cluster_size, materialize=False)
+    probe = rank_ivf_lists(centroids, query, nprobe)
+    cand = assigned.where(F.col("cluster").isin(probe))
+    return cosine_topk(cand, query, vec_col="v", id_col=id_col, k=k)
+
+
+def ivf_probe_lists(queries: DataFrame, centroids: np.ndarray, *,
+                    vec_col: str = "embedding",
+                    id_col: str = "query_id",
+                    nprobe: int = 2) -> DataFrame:
+    """Assign each query its ``nprobe`` nearest IVF lists: one vectorized
+    Arrow pass (the (batch × k) distance table accumulated dim-by-dim in
+    dim order — the ``clustering._assign`` fold, bit-identical to DuckDB's
+    ``list_reduce``), stable argsort so exact ties break to the smaller
+    list id.  Emits ``nprobe`` rows per query: ``(id, qv, cluster)`` with
+    ``qv`` the 6-decimal-rounded query vector (the quantizer's coordinate
+    protocol, so downstream cosine folds are cross-engine exact)."""
+    from .clustering import _rounded_vectors
+
+    k, dim = centroids.shape
+    if not 1 <= nprobe:
+        raise ValueError("nprobe must be >= 1")
+    nprobe = min(nprobe, k)
+    pts = _rounded_vectors(queries, id_col, vec_col)
+    id_field = pts.schema[0]
+    ddl = (f"{id_field.name} {id_field.dataType.simpleString()}, "
+           f"qv array<double>, cluster int")
+    C = centroids
+
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            col = batch.column("v")
+            if col.null_count or col.flatten().null_count:
+                raise ValueError(
+                    "ivf_probe_lists: NULL query vector or element")
+            lens = col.value_lengths().to_numpy(zero_copy_only=False)
+            if lens.size and (lens != dim).any():
+                bad = int(lens[lens != dim][0])
+                raise ValueError(
+                    f"ivf_probe_lists: query of length {bad} != "
+                    f"centroid dim {dim}")
+            X = col.flatten().to_numpy(
+                zero_copy_only=False).reshape(-1, dim)
+            nq = X.shape[0]
+            acc = np.zeros((nq, k), dtype=np.float64)
+            for j in range(dim):
+                d = X[:, j, None] - C[None, :, j]
+                acc += d * d
+            # stable sort: exact distance ties keep index (= cluster id)
+            # order, mirroring the oracle's (dist, cl) window order
+            probe = np.argsort(acc, axis=1, kind="stable")[:, :nprobe] \
+                if nq else np.zeros((0, nprobe), dtype=np.int64)
+            idx = np.repeat(np.arange(nq), nprobe)
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(id_field.name).take(pa.array(idx)),
+                 col.take(pa.array(idx)),
+                 pa.array(probe.reshape(-1).astype(np.int32),
+                          type=pa.int32())],
+                names=[id_field.name, "qv", "cluster"])
+
+    return pts.mapInArrow(run, ddl)
+
+
+def ivf_batch_topk(corpus: DataFrame, queries: DataFrame, *,
+                   vec_col: str = "embedding", corpus_id: str = "vec_id",
+                   query_id: str = "query_id", k: int = 10,
+                   n_lists: int | None = None, nprobe: int = 2,
+                   iters: int = 3, n_vectors: int | None = None,
+                   target_cluster_size: int = 200) -> DataFrame:
+    """Batch ANN — a QUERY TABLE against an IVF index, the realistic
+    100 TB similarity-search shape (:func:`ivf_topk` is its single-query
+    special case): every query meets candidates ONLY inside its ``nprobe``
+    nearest inverted lists, so the join is cluster-equi, never all-pairs.
+
+    Scale shape: the quantizer assignment is computed once
+    (``clustering.kmeans_fit``; stored partitioned by ``cluster`` in a
+    real deployment, so the probe join co-locates with zero corpus
+    shuffle); queries replicate ``nprobe``× and shuffle BY CLUSTER — the
+    small side moves, the corpus side doesn't; per-candidate cosine is
+    JVM-codegen folds; the per-query top-k window sorts ``nprobe ×
+    list-occupancy`` candidates per query (held ~constant by ``auto_k``).
+
+    Determinism: the full chain — quantizer, probe ranking
+    (:func:`ivf_probe_lists`), cosine on 6-decimal vectors, (cosine DESC,
+    corpus id) ranking — follows the ``clustering`` cross-engine
+    protocol, so a DuckDB oracle replicates it value-for-value.
+    Zero-norm vectors score NULL cosine and are excluded before ranking
+    (NULL ordering differs across engines).  Returns
+    ``(query_id, vec_id, cosine, rank)``, ``rank <= k``."""
+    from pyspark.sql import Window
+
+    from . import clustering
+
+    assigned, centroids, _ = clustering.kmeans_fit(
+        corpus.select(corpus_id, vec_col), vec_col=vec_col,
+        id_col=corpus_id, k=n_lists, iters=iters, n_vectors=n_vectors,
+        target_cluster_size=target_cluster_size, materialize=False)
+    probes = ivf_probe_lists(queries, centroids, vec_col=vec_col,
+                             id_col=query_id, nprobe=nprobe)
+    cand = probes.join(assigned, "cluster")
+    denom = _norm(F.col("qv")) * _norm(F.col("v"))
+    cos = F.when(denom > 0,
+                 F.round(_dot(F.col("qv"), F.col("v")) / denom, 6))
+    scored = (cand.select(query_id, corpus_id, cos.alias("cosine"))
+              .where(F.col("cosine").isNotNull()))
+    w = Window.partitionBy(query_id).orderBy(F.desc("cosine"),
+                                             F.asc(corpus_id))
+    return (scored.withColumn("rank",
+                              F.row_number().over(w).cast("long"))
+            .where(F.col("rank") <= k))
+
+
 def auto_nbits(n_vectors: int, *, target_bucket_size: int = 128,
                min_nbits: int = 2, max_nbits: int = 24) -> int:
     """Hyperplane count sized to the corpus: expected sign-LSH bucket

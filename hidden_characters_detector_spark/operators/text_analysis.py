@@ -253,6 +253,60 @@ def word_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
             .groupBy("word").agg(F.count("*").cast("long").alias("cnt")))
 
 
+def tfidf_terms(df: DataFrame, *, text_col: str = "text",
+                source_col: str = "source", top: int = 10,
+                n_sources: int | None = None) -> DataFrame:
+    """Per-source characteristic terms by tf-idf — the corpus-profiling
+    complement of :func:`word_counts`: which words distinguish each
+    source/domain slice (the report behind mixture design and
+    domain-tagging heuristics).  Word definition matches
+    :func:`word_counts` (lowercase ``[a-z0-9]+`` runs, NULL text empty).
+
+    ``tfidf = tf · (ln((1 + S) / (1 + df)) + 1)`` (the smoothed-idf
+    formula): ``tf`` = occurrences of the word in the source, ``df`` =
+    number of distinct sources containing it, ``S`` = total distinct
+    sources (pass ``n_sources`` when known to skip the count job).
+    Returns the ``top`` terms per source as ``(source, word, tfidf,
+    rank)``, rank ordered by (rounded tfidf DESC, word) — both engines
+    rank the same 6-decimal value, so the cut is cross-engine stable.
+
+    Scale shape: explode → partial-aggregated ``groupBy(source, word)``
+    (the Zipf head collapses map-side), document frequency is a second
+    partial-agged ``groupBy(word)`` over the ALREADY-AGGREGATED (source,
+    word) table (vocab-bounded, never corpus-bounded), the idf join is
+    word-keyed between two vocab-bounded tables (AQE broadcasts the df
+    side when it fits), and the top-k window sorts one source's vocab per
+    task — bounded by vocabulary, not corpus, at any scale."""
+    from pyspark.sql import Window
+
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    words = F.filter(F.split(F.lower(c), r"[^a-z0-9]+"),
+                     lambda w: w != "")
+    tf = (df.select(F.col(source_col).alias("source"),
+                    F.explode(words).alias("word"))
+          .groupBy("source", "word")
+          .agg(F.count("*").cast("long").alias("tf")))
+    if n_sources is None:
+        n_sources = df.agg(
+            F.countDistinct(source_col).alias("n")).collect()[0]["n"]
+    dfreq = tf.groupBy("word").agg(
+        F.count("*").cast("long").alias("df_cnt"))
+    # one IEEE op sequence, identical in DuckDB: (1.0+S)/(1.0+df) → ln →
+    # +1.0 → ×tf → round 6 (integers are exact in double, so the literal
+    # 1.0+S is the same value both engines divide by)
+    idf = F.log((F.lit(1.0) + F.lit(float(n_sources)))
+                / (F.lit(1.0) + F.col("df_cnt"))) + F.lit(1.0)
+    scored = (tf.join(dfreq, "word")
+              .select("source", "word",
+                      F.round(F.col("tf") * idf, 6).alias("tfidf")))
+    w = Window.partitionBy("source").orderBy(F.desc("tfidf"),
+                                             F.asc("word"))
+    return (scored.withColumn("rank",
+                              F.row_number().over(w).cast("long"))
+            .where(F.col("rank") <= top)
+            .select("source", "word", "tfidf", "rank"))
+
+
 def unigram_logprob(df: DataFrame, model: DataFrame, *,
                     total_words: int | None = None,
                     text_col: str = "text",

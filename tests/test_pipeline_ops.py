@@ -220,6 +220,65 @@ def test_lsh_exhaustive_probe_equals_brute_force(spark):
     assert exact == exhaustive
 
 
+def test_rank_ivf_lists_order_ties_clamp():
+    """Probe ranking: nearest-first, exact-tie → smaller list id, nprobe
+    clamped to the list count."""
+    C = np.array([[0.0, 0.0], [3.0, 4.0], [0.0, 0.0], [1.0, 0.0]])
+    assert similarity.rank_ivf_lists(C, [0.0, 0.0], 3) == [0, 2, 3]
+    assert similarity.rank_ivf_lists(C, [3.0, 4.0], 1) == [1]
+    assert similarity.rank_ivf_lists(C, [0.0, 0.0], 99) == [0, 2, 3, 1]
+    with pytest.raises(ValueError):
+        similarity.rank_ivf_lists(C, [1.0, 2.0, 3.0], 2)
+
+
+def test_ivf_exhaustive_probe_equals_brute_force(spark):
+    """With nprobe == n_lists every inverted list is probed, so IVF is
+    provably identical to brute force over the quantizer's 6-decimal
+    vectors — the correctness anchor behind q_ann_topk_ivf (whose
+    contract row then parity-checks a PARTIAL probe against a
+    full-algorithm oracle)."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+    q = emb.limit(1).collect()[0]["embedding"]
+    rounded = emb.select(
+        "vec_id",
+        F.transform(F.col("embedding").cast("array<double>"),
+                    lambda x: F.round(x, 6)).alias("v"))
+    exact = [tuple(r) for r in
+             similarity.cosine_topk(rounded, q, vec_col="v",
+                                    k=10).collect()]
+    exhaustive = [tuple(r) for r in
+                  similarity.ivf_topk(emb, q, k=10, n_lists=4,
+                                      nprobe=4, iters=2).collect()]
+    assert exact == exhaustive
+
+
+def test_ivf_partial_probe_recall(spark):
+    """A partial probe must recall the query vector itself (its own list
+    centroid is by construction among the nearest) and overlap well with
+    brute force on a clustered corpus."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+    q = emb.limit(1).collect()[0]["embedding"]
+    exact = [r["vec_id"] for r in
+             similarity.cosine_topk(emb, q, k=5).collect()]
+    approx = [r["vec_id"] for r in
+              similarity.ivf_topk(emb, q, k=5, n_lists=8, nprobe=3,
+                                  iters=3).collect()]
+    assert exact[0] == approx[0]
+    assert len(set(exact) & set(approx)) >= 3
+
+
+def test_ivf_scoring_plan_is_takeordered(spark):
+    """The probe's scoring pass is filter + TakeOrdered — no global sort
+    materializes the scored corpus (the property that keeps a 100 TB
+    probe's cost at nprobe/n_lists of a scan + an O(k) heap)."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = emb.limit(1).collect()[0]["embedding"]
+    out = similarity.ivf_topk(emb, q, k=10, n_lists=4, nprobe=2, iters=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan
+
+
 def test_auto_nbits_bounds_bucket_size(spark):
     """auto_nbits keeps max sign-LSH bucket occupancy bounded as the corpus
     grows 10× — the scaling property that keeps the within-bucket pairwise
@@ -842,3 +901,91 @@ def test_pair_counts_hand_computed(spark):
     tplan = (text_analysis.top_pairs(df, k=5)
              ._jdf.queryExecution().executedPlan().toString())
     assert "TakeOrderedAndProject" in tplan
+
+
+def test_tfidf_terms_hand_computed(spark):
+    """Smoothed tf-idf per source vs hand arithmetic: tf counts
+    occurrences within the source, df counts sources, S is the distinct
+    source count, and the top-k cut ranks by (rounded tfidf DESC, word)."""
+    import math
+
+    df = spark.createDataFrame(
+        [("1", "apple apple banana", "s1"),
+         ("2", "banana cherry", "s2"),
+         ("3", "apple cherry CHERRY!", "s3"),
+         ("4", None, "s3")],
+        "doc_id string, text string, source string")
+    rows = text_analysis.tfidf_terms(df, top=10).collect()
+    got = {(r.source, r.word): (r.tfidf, r.rank) for r in rows}
+    idf = math.log(4.0 / 3.0) + 1.0  # every word is in 2 of 3 sources
+    assert got[("s1", "apple")] == (round(2 * idf, 6), 1)
+    assert got[("s1", "banana")] == (round(1 * idf, 6), 2)
+    assert got[("s3", "cherry")] == (round(2 * idf, 6), 1)  # case-folded
+    assert got[("s3", "apple")] == (round(1 * idf, 6), 2)
+    # top=1 cuts at the rank boundary
+    top1 = text_analysis.tfidf_terms(df, top=1).collect()
+    assert sorted((r.source, r.word) for r in top1) == [
+        ("s1", "apple"), ("s2", "banana"), ("s3", "cherry")]
+
+
+def test_tfidf_plan_shape(spark):
+    """Both aggregations partial-agg map-side and no shuffle carries the
+    raw text column (it is consumed by the explode before the first
+    exchange) — the properties that bound every tf-idf shuffle by
+    vocabulary, not corpus, at 100 TB."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").selectExpr(
+        "cast(doc_id as string) doc_id", "text", "source")
+    out = text_analysis.tfidf_terms(docs, top=5, n_sources=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("HashAggregate") >= 4  # partial+final, both aggs
+    exchange_lines = [ln for ln in plan.splitlines() if "Exchange" in ln]
+    assert exchange_lines
+    assert all("text" not in ln for ln in exchange_lines)
+
+
+def test_ivf_batch_exhaustive_probe_equals_brute_force(spark):
+    """nprobe == n_lists: every query's batch result equals per-query
+    brute force over the quantizer's rounded vectors — the batch analog
+    of the single-query anchor."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+    queries = emb.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    got = similarity.ivf_batch_topk(emb, queries, k=3, n_lists=4,
+                                    nprobe=4, iters=2).collect()
+    by_query = {}
+    for r in got:
+        by_query.setdefault(r["query_id"], []).append(
+            (r["rank"], r["vec_id"], r["cosine"]))
+    rounded = emb.select(
+        "vec_id",
+        F.transform(F.col("embedding").cast("array<double>"),
+                    lambda x: F.round(x, 6)).alias("v"))
+    for q in queries.collect():
+        exact = similarity.cosine_topk(
+            rounded, [round(float(x), 6) for x in q["embedding"]],
+            vec_col="v", k=3).collect()
+        mine = sorted(by_query[q["query_id"]])
+        assert [v for _, v, _ in mine] == [r["vec_id"] for r in exact]
+
+
+def test_ivf_batch_join_is_cluster_equi(spark):
+    """The candidate join is cluster-equi — no cartesian / nested-loop
+    product ever appears, and each query emits exactly nprobe probe rows
+    (the bound that keeps the query-side shuffle at nprobe× the query
+    table, never corpus-shaped)."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    queries = emb.limit(7).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    out = similarity.ivf_batch_topk(emb, queries, k=2, n_lists=4,
+                                    nprobe=2, iters=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # probe fan-out bound
+    from hidden_characters_detector_spark.operators import clustering
+    _, centroids, _ = clustering.kmeans_fit(
+        emb.select("vec_id", "embedding"), k=4, iters=2,
+        materialize=False)
+    probes = similarity.ivf_probe_lists(queries, centroids, nprobe=2)
+    counts = probes.groupBy("query_id").count().collect()
+    assert len(counts) == 7 and all(r["count"] == 2 for r in counts)
