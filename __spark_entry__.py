@@ -2796,6 +2796,83 @@ _EXTRA_QUERIES["tfidf_terms"] = q_tfidf_terms
 _EXTRA_ORACLES["tfidf_terms"] = _o_tfidf_terms
 
 
+def q_bigram_logprob(spark, sf_dir):
+    """Bigram-LM quality score (``text_analysis.bigram_logprob``): mean
+    bits/word under a top-200 bigram + top-100 unigram model of the
+    corpus itself, conditional ``p(w|prev)`` where modelled, unigram
+    backoff with OOV floor elsewhere — one tier up from
+    ``unigram_logprob`` toward the CCNet KenLM filter.  The oracle
+    replicates models, backoff rule and decimal-exact bit sums."""
+    from hidden_characters_detector_spark.operators import text_analysis
+    docs = _table(spark, sf_dir, "documents").selectExpr(
+        "cast(doc_id as string) AS doc_id", "text")
+    uni_all = text_analysis.word_counts(docs)
+    total = uni_all.agg(F.sum("cnt")).collect()[0][0] or 1
+    uni = uni_all.orderBy(F.col("cnt").desc(),
+                          F.col("word").asc()).limit(100)
+    bi = (text_analysis.word_bigram_counts(docs)
+          .orderBy(F.col("cnt").desc(), "word_a", "word_b").limit(200))
+    return text_analysis.bigram_logprob(docs, uni, bi,
+                                        total_words=int(total))
+
+
+def _o_bigram_logprob():
+    return """
+    WITH docs AS (
+      SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents),
+    w AS (
+      SELECT doc_id, list_filter(
+          regexp_split_to_array(lower(COALESCE(text, '')), '[^a-z0-9]+'),
+          x -> x <> '') AS ws
+      FROM docs),
+    pw AS (
+      SELECT doc_id, ws[CAST(i AS INTEGER)] AS word,
+             CASE WHEN i > 1 THEN ws[CAST(i AS INTEGER) - 1] END AS prev
+      FROM w, unnest(range(1, len(ws) + 1)) AS u(i)),
+    wc AS (SELECT word, CAST(count(*) AS BIGINT) AS cnt
+           FROM pw GROUP BY word),
+    tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM wc),
+    uni AS (SELECT word, cnt FROM wc ORDER BY cnt DESC, word LIMIT 100),
+    bc AS (SELECT prev AS word_a, word AS word_b,
+                  CAST(count(*) AS BIGINT) AS cnt
+           FROM pw WHERE prev IS NOT NULL GROUP BY prev, word),
+    bi AS (SELECT word_a, word_b, cnt FROM bc
+           ORDER BY cnt DESC, word_a, word_b LIMIT 200),
+    j AS (
+      SELECT d.doc_id, p.word,
+             b.cnt AS bcnt, up.cnt AS pcnt, uw.cnt AS ucnt
+      FROM docs d
+      LEFT JOIN pw p ON p.doc_id = d.doc_id
+      LEFT JOIN bi b ON b.word_a = p.prev AND b.word_b = p.word
+      LEFT JOIN uni up ON up.word = p.prev
+      LEFT JOIN uni uw ON uw.word = p.word),
+    pd AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN word IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_words,
+             CAST(sum(CASE WHEN word IS NOT NULL AND bcnt IS NOT NULL
+                           AND pcnt IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_bigram_hits,
+             CAST(sum(CASE WHEN word IS NOT NULL THEN
+                 CAST(round(CASE WHEN bcnt IS NOT NULL
+                                 AND pcnt IS NOT NULL
+                      THEN log2(CAST(pcnt AS DOUBLE))
+                           - log2(CAST(bcnt AS DOUBLE))
+                      ELSE log2((SELECT total FROM tot))
+                           - log2(CAST(COALESCE(ucnt, 1) AS DOUBLE))
+                      END, 6) AS DECIMAL(18,6)) END) AS DOUBLE) AS sb
+      FROM j GROUP BY doc_id)
+    SELECT doc_id, n_words, n_bigram_hits,
+           CASE WHEN n_words > 0
+                THEN round(sb / CAST(n_words AS DOUBLE), 6)
+                ELSE 0.0 END AS bits_per_word
+    FROM pd"""
+
+
+_EXTRA_QUERIES["bigram_logprob"] = q_bigram_logprob
+_EXTRA_ORACLES["bigram_logprob"] = _o_bigram_logprob
+
+
 # =========================================================================
 # DSIR importance resampling (target-domain upweighting)
 # =========================================================================

@@ -381,6 +381,113 @@ def unigram_logprob(df: DataFrame, model: DataFrame, *,
         .otherwise(0.0).alias("bits_per_word"))
 
 
+def word_bigram_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus word-bigram counts ``(word_a, word_b, cnt)`` — the
+    conditional-model half of :func:`bigram_logprob`'s inputs; word
+    definition matches :func:`word_counts`, pairs never cross doc
+    boundaries.  Same scale shape as :func:`pair_counts` (shifted-slice
+    ``zip_with``, partial agg before the single live-bigram-bounded
+    exchange)."""
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    words = F.filter(F.split(F.lower(c), r"[^a-z0-9]+"),
+                     lambda w: w != "")
+    n = F.size(words)
+    pairs = F.zip_with(
+        F.slice(words, F.lit(1), n - 1), F.slice(words, F.lit(2), n - 1),
+        lambda a, b: F.struct(a.alias("a"), b.alias("b")))
+    return (df.where(n >= 2)           # slice length n-1 must be >= 1
+            .select(F.explode(pairs).alias("p"))
+            .select(F.col("p.a").alias("word_a"),
+                    F.col("p.b").alias("word_b"))
+            .groupBy("word_a", "word_b")
+            .agg(F.count("*").cast("long").alias("cnt")))
+
+
+def bigram_logprob(df: DataFrame, unigram_model: DataFrame,
+                   bigram_model: DataFrame, *,
+                   total_words: int | None = None,
+                   text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Bigram language-model quality score — one tier up from
+    :func:`unigram_logprob` toward the KenLM filter CCNet actually runs:
+    per document, mean bits/word where a word seen after a modelled
+    predecessor scores the CONDITIONAL probability
+    ``p(w|prev) = cnt(prev, w) / cnt(prev)`` and everything else (first
+    word, unseen bigram, unmodelled predecessor) BACKS OFF to the unigram
+    ``cnt(w) / total_words`` with the ``1 / total_words`` OOV floor.
+    Stereotyped word ORDER (boilerplate, templates) now scores low even
+    when its vocabulary is ordinary — the signal the unigram tier cannot
+    see.
+
+    ``unigram_model``: ``(word, cnt)``; ``bigram_model``: ``(word_a,
+    word_b, cnt)`` (typically top-k heads of :func:`word_counts` /
+    :func:`word_bigram_counts` over a reference corpus); ``total_words``
+    as in :func:`unigram_logprob`.  The bigram path is taken only when
+    BOTH the bigram and its predecessor's unigram are modelled, so a
+    truncated head cannot produce a probability > 1 denominator mismatch.
+
+    Output: ``(id_col, n_words, n_bigram_hits, bits_per_word)``;
+    empty/NULL docs score ``0, 0, 0.0``.
+
+    Scale shape: both models are vocabulary heads — every lookup is a
+    BROADCAST join against the exploded word stream (three joins, zero
+    corpus shuffles); the per-doc reduce is the plan's only wide
+    exchange, with empty docs riding through as ``explode_outer``
+    sentinels (the :func:`unigram_logprob` plan contract).
+
+    Cross-engine determinism: per-word bits are a function of model
+    COUNTS alone (``log2(denominator) − log2(numerator)``), rounded to 6
+    decimals and summed as DECIMAL — exact and accumulation-order
+    independent, the :func:`unigram_logprob` protocol.
+    """
+    if total_words is None:
+        total_words = unigram_model.agg(F.sum("cnt")).collect()[0][0] or 1
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    words = F.filter(F.split(F.lower(c), r"[^a-z0-9]+"),
+                     lambda w: w != "")
+    n = F.size(words)
+    # prev[i] = words[i-1], NULL for the first word: zip the array with a
+    # NULL-headed shifted copy of itself, all JVM HOFs
+    prev = F.concat(F.array(F.lit(None).cast("string")),
+                    F.slice(words, F.lit(1),
+                            F.greatest(n - 1, F.lit(0))))
+    zipped = F.zip_with(prev, words,
+                        lambda p, w: F.struct(p.alias("prev"),
+                                              w.alias("word")))
+    exploded = (df.select(id_col, F.explode_outer(zipped).alias("pw"))
+                .select(id_col, F.col("pw.prev").alias("prev"),
+                        F.col("pw.word").alias("word")))
+    uni = unigram_model.select("word", F.col("cnt").alias("ucnt"))
+    bi = bigram_model.select(F.col("word_a").alias("prev"),
+                             F.col("word_b").alias("word"),
+                             F.col("cnt").alias("bcnt"))
+    joined = (exploded
+              .join(F.broadcast(bi), ["prev", "word"], "left")
+              .join(F.broadcast(uni.withColumnRenamed("word", "prev")
+                                .withColumnRenamed("ucnt", "pcnt")),
+                    "prev", "left")
+              .join(F.broadcast(uni), "word", "left"))
+    bigram_ok = F.col("bcnt").isNotNull() & F.col("pcnt").isNotNull()
+    bits = F.when(bigram_ok,
+                  F.log2(F.col("pcnt").cast("double"))
+                  - F.log2(F.col("bcnt").cast("double"))) \
+        .otherwise(F.log2(F.lit(float(total_words)))
+                   - F.log2(F.coalesce(F.col("ucnt"),
+                                       F.lit(1)).cast("double")))
+    is_word = F.col("word").isNotNull()
+    per_doc = (joined.groupBy(id_col).agg(
+        F.sum(is_word.cast("long")).alias("n_words"),
+        F.sum((is_word & bigram_ok).cast("long")).alias("n_bigram_hits"),
+        F.sum(F.when(is_word, F.round(bits, 6).cast("decimal(18,6)")))
+        .cast("double").alias("_sum_bits")))
+    return per_doc.select(
+        id_col, "n_words", "n_bigram_hits",
+        F.when(F.col("n_words") > 0,
+               F.round(F.col("_sum_bits")
+                       / F.col("n_words").cast("double"), 6))
+        .otherwise(0.0).alias("bits_per_word"))
+
+
 def repetition_scores(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", *,
                       max_dup_line_frac: float = 0.30,

@@ -989,3 +989,54 @@ def test_ivf_batch_join_is_cluster_equi(spark):
     probes = similarity.ivf_probe_lists(queries, centroids, nprobe=2)
     counts = probes.groupBy("query_id").count().collect()
     assert len(counts) == 7 and all(r["count"] == 2 for r in counts)
+
+
+def test_word_bigram_counts_hand_computed(spark):
+    """Word-bigram census: pairs never cross doc boundaries, <2-word and
+    NULL docs emit nothing, case folding matches word_counts."""
+    df = spark.createDataFrame(
+        [("1", "Aa bb aa"), ("2", "bb aa"), ("3", "solo"), ("4", None)],
+        "doc_id string, text string")
+    got = {(r.word_a, r.word_b): r.cnt for r in
+           text_analysis.word_bigram_counts(df).collect()}
+    assert got == {("aa", "bb"): 1, ("bb", "aa"): 2}
+
+
+def test_bigram_logprob_hand_computed(spark):
+    """Bigram LM scoring: conditional bits log2(cnt_prev) - log2(cnt_bi)
+    when both the bigram AND its predecessor are modelled, unigram
+    backoff (with OOV floor) for the first word / unseen bigram /
+    unmodelled predecessor; empty docs score zeros."""
+    import math
+
+    docs = spark.createDataFrame(
+        [("d1", "a b a b"), ("d2", "a c"), ("d5", "x y"),
+         ("d3", ""), ("d4", None)],
+        "doc_id string, text string")
+    uni = spark.createDataFrame([("a", 3), ("b", 2), ("y", 2)],
+                                "word string, cnt long")
+    bi = spark.createDataFrame([("a", "b", 2), ("x", "y", 5)],
+                               "word_a string, word_b string, cnt long")
+    out = {r["doc_id"]: r for r in text_analysis.bigram_logprob(
+        docs, uni, bi, total_words=7).collect()}
+    r_a = round(math.log2(7) - math.log2(3), 6)     # unigram a
+    r_ab = round(math.log2(3) - math.log2(2), 6)    # p(b|a) = 2/3
+    r_oov = round(math.log2(7), 6)                  # OOV floor
+    r_y = round(math.log2(7) - math.log2(2), 6)     # unigram y
+    d1 = out["d1"]  # a(uni) b(bi) a(backoff: b,a unseen) b(bi)
+    assert d1["n_words"] == 4 and d1["n_bigram_hits"] == 2
+    assert d1["bits_per_word"] == pytest.approx(
+        round((2 * r_a + 2 * r_ab) / 4, 6), abs=2e-6)
+    d2 = out["d2"]  # a(uni) c(OOV backoff; (a,c) unseen)
+    assert d2["n_words"] == 2 and d2["n_bigram_hits"] == 0
+    assert d2["bits_per_word"] == pytest.approx(
+        round((r_a + r_oov) / 2, 6), abs=2e-6)
+    d5 = out["d5"]  # (x,y) IS in the bigram model but x is not in the
+    # unigram model -> backoff (truncated-head consistency rule)
+    assert d5["n_bigram_hits"] == 0
+    assert d5["bits_per_word"] == pytest.approx(
+        round((r_oov + r_y) / 2, 6), abs=2e-6)
+    for d in ("d3", "d4"):
+        assert out[d]["n_words"] == 0
+        assert out[d]["n_bigram_hits"] == 0
+        assert out[d]["bits_per_word"] == 0.0

@@ -392,3 +392,28 @@ def test_substr_dedup_remove_broadcasts_spans(spark):
     plan = _plan(substr_dedup.remove_duplicated_spans(docs, k=40))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_bigram_logprob_plan_broadcast_single_doc_exchange(spark):
+    """Bigram LM scoring keeps the unigram plan contract with THREE
+    model lookups: all broadcast joins against the exploded word stream
+    (corpus never shuffles for a lookup), partial agg before the single
+    doc-keyed exchange, no spine join back."""
+    from pyspark.sql import functions as F
+
+    from hidden_characters_detector_spark.operators import text_analysis
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").selectExpr(
+        "cast(doc_id as string) doc_id", "text")
+    uni = spark.createDataFrame([("the", 100), ("and", 50)],
+                                "word string, cnt long")
+    bi = spark.createDataFrame([("the", "and", 10)],
+                               "word_a string, word_b string, cnt long")
+    plan = _plan(text_analysis.bigram_logprob(docs, uni, bi,
+                                              total_words=1000))
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "partial_sum" in plan
+    assert "Cartesian" not in plan
+    assert "SortMergeJoin" not in plan
+    doc_exchanges = [ln for ln in plan.splitlines()
+                     if "Exchange hashpartitioning(doc_id" in ln]
+    assert len(doc_exchanges) == 1
