@@ -2873,6 +2873,49 @@ _EXTRA_QUERIES["bigram_logprob"] = q_bigram_logprob
 _EXTRA_ORACLES["bigram_logprob"] = _o_bigram_logprob
 
 
+def q_source_overlap(spark, sf_dir):
+    """Cross-source exact-duplicate overlap matrix
+    (``dedup.cross_source_overlap``) over the corpus plus deterministic
+    mirror slices (every 5th doc re-labelled ``mirror_<doc_id mod 3>``),
+    so the matrix has planted cross-source mass on top of whatever
+    natural cross-source dups exist — both replicated in the oracle."""
+    from hidden_characters_detector_spark.operators import dedup
+    docs = _table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source")
+    mirror = (docs.where(F.col("doc_id") % 5 == 0)
+              .select((F.col("doc_id") + 1000000).alias("doc_id"), "text",
+                      F.concat(F.lit("mirror_"),
+                               (F.col("doc_id") % 3).cast("string"))
+                      .alias("source")))
+    return dedup.cross_source_overlap(docs.unionByName(mirror))
+
+
+def _o_source_overlap():
+    return """
+    WITH corpus AS (
+      SELECT doc_id, text, source FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text,
+             'mirror_' || CAST(doc_id % 3 AS VARCHAR)
+      FROM documents WHERE doc_id % 5 = 0),
+    per AS (
+      SELECT md5(COALESCE(text, '')) AS h, source,
+             CAST(count(*) AS BIGINT) AS n
+      FROM corpus GROUP BY 1, 2),
+    p AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             a.n AS na, b.n AS nb
+      FROM per a JOIN per b ON a.h = b.h AND a.source < b.source)
+    SELECT source_a, source_b,
+           CAST(count(*) AS BIGINT) AS n_shared_texts,
+           CAST(sum(na * nb) AS BIGINT) AS n_doc_pairs
+    FROM p GROUP BY source_a, source_b"""
+
+
+_EXTRA_QUERIES["source_overlap"] = q_source_overlap
+_EXTRA_ORACLES["source_overlap"] = _o_source_overlap
+
+
 # =========================================================================
 # DSIR importance resampling (target-domain upweighting)
 # =========================================================================

@@ -344,6 +344,39 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id",
             .select(id_col, "content_hash", "group_size"))
 
 
+def cross_source_overlap(df: DataFrame, *, text_col: str = "text",
+                         source_col: str = "source") -> DataFrame:
+    """Cross-source exact-duplicate overlap matrix — "how much does
+    source A duplicate source B", the report behind mixture design and
+    per-source dedup budgeting (a crawl slice that is 30% identical to an
+    existing slice should not be weighted as fresh data).
+
+    Output: one row per unordered source pair that shares at least one
+    exact text — ``(source_a, source_b, n_shared_texts, n_doc_pairs)``
+    with ``source_a < source_b``; ``n_shared_texts`` counts DISTINCT
+    duplicated texts, ``n_doc_pairs`` counts cross-source doc pairs
+    (``count_a × count_b`` summed over shared texts).
+
+    Scale shape: texts collapse to a 16-byte digest in the scan
+    projection, so no text ever rides an exchange; the ``(digest,
+    source)`` aggregate partial-aggs map-side (duplicate-heavy corpora
+    collapse before the shuffle); the self-join meets only on equal
+    digests (never all-pairs — bounded by the duplicated-text count);
+    the final aggregate is ≤ |sources|² rows."""
+    h = F.md5(F.coalesce(F.col(text_col), F.lit("")).cast("binary"))
+    per = (df.select(h.alias("h"), F.col(source_col).alias("source"))
+           .groupBy("h", "source")
+           .agg(F.count("*").cast("long").alias("n")))
+    l, r = per.alias("l"), per.alias("r")
+    pairs = l.join(r, (F.col("l.h") == F.col("r.h"))
+                   & (F.col("l.source") < F.col("r.source")))
+    return (pairs.groupBy(F.col("l.source").alias("source_a"),
+                          F.col("r.source").alias("source_b"))
+            .agg(F.count("*").cast("long").alias("n_shared_texts"),
+                 F.sum(F.col("l.n") * F.col("r.n")).cast("long")
+                 .alias("n_doc_pairs")))
+
+
 def _pairwise_jaccard(texts_a: pa.Array, texts_b: pa.Array,
                       k: int) -> np.ndarray:
     """Exact k-shingle Jaccard for row-aligned text pairs, fully vectorized.

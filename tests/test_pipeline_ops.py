@@ -1040,3 +1040,24 @@ def test_bigram_logprob_hand_computed(spark):
         assert out[d]["n_words"] == 0
         assert out[d]["n_bigram_hits"] == 0
         assert out[d]["bits_per_word"] == 0.0
+
+
+def test_cross_source_overlap_hand_computed(spark):
+    """Overlap matrix: distinct shared texts and doc-pair mass per
+    unordered source pair; sources with no shared text emit no row; no
+    raw text rides any exchange (digest-only shuffles)."""
+    df = spark.createDataFrame(
+        [("1", "xx", "a"), ("2", "xx", "a"), ("3", "xx", "b"),
+         ("4", "yy", "a"), ("5", "yy", "c"), ("6", "zz", "c"),
+         ("7", None, "a"), ("8", "", "b")],
+        "doc_id string, text string, source string")
+    got = {(r.source_a, r.source_b): (r.n_shared_texts, r.n_doc_pairs)
+           for r in dedup.cross_source_overlap(df).collect()}
+    # 'xx' shared a(2)×b(1); 'yy' shared a(1)×c(1); NULL and '' collapse
+    # to the same empty text shared a×b; 'zz' is c-only -> no row for it
+    assert got == {("a", "b"): (2, 3), ("a", "c"): (1, 1)}
+    plan = (dedup.cross_source_overlap(df)
+            ._jdf.queryExecution().executedPlan().toString())
+    exchange_lines = [ln for ln in plan.splitlines() if "Exchange" in ln]
+    assert exchange_lines
+    assert all("text" not in ln for ln in exchange_lines)
