@@ -2916,6 +2916,62 @@ _EXTRA_QUERIES["source_overlap"] = q_source_overlap
 _EXTRA_ORACLES["source_overlap"] = _o_source_overlap
 
 
+def q_eval_contamination(spark, sf_dir):
+    """Eval-side contamination audit (``decontam.eval_contamination``):
+    same train/eval fixture as ``decontaminate`` but reported per EVAL
+    item — distinct shingles, leaked shingles, sharing train docs and
+    leak fraction (every eval item emits a row).  The oracle replicates
+    the rolling shingle hash and both distinct counts."""
+    from hidden_characters_detector_spark.operators import decontam
+    docs = _table(spark, sf_dir, "documents")
+    train = docs.where("doc_id % 7 <> 0").selectExpr(
+        "cast(doc_id as string) AS doc_id", "text")
+    evl = docs.where("doc_id % 7 = 0").selectExpr(
+        "cast(doc_id as string) AS doc_id", "substr(text, 11) AS text")
+    return decontam.eval_contamination(train, evl, k=20)
+
+
+def _o_eval_contamination(k: int = 20):
+    h = _o_shingle_hash_expr(k)
+    return f"""
+    WITH train AS (
+      SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents
+      WHERE doc_id % 7 <> 0),
+    ev AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                  substr(text, 11) AS text
+           FROM documents WHERE doc_id % 7 = 0),
+    th AS (
+      SELECT DISTINCT doc_id AS train_id, {h} AS h
+      FROM train, unnest(range(1, length(text) - {k - 2})) AS t(i)),
+    eh AS (
+      SELECT DISTINCT doc_id, {h} AS h
+      FROM ev, unnest(range(1, length(text) - {k - 2})) AS t(i)),
+    base AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles
+             FROM eh GROUP BY doc_id),
+    m AS (SELECT e.doc_id, e.h, t.train_id
+          FROM eh e JOIN th t ON e.h = t.h),
+    hits AS (
+      SELECT doc_id,
+             CAST(count(DISTINCT h) AS BIGINT) AS n_leaked,
+             CAST(count(DISTINCT train_id) AS BIGINT) AS n_train_docs
+      FROM m GROUP BY doc_id)
+    SELECT d.doc_id,
+           COALESCE(b.n_shingles, 0) AS n_shingles,
+           COALESCE(hi.n_leaked, 0) AS n_leaked,
+           COALESCE(hi.n_train_docs, 0) AS n_train_docs,
+           CASE WHEN COALESCE(b.n_shingles, 0) > 0
+                THEN round(COALESCE(hi.n_leaked, 0)
+                           / CAST(b.n_shingles AS DOUBLE), 6)
+                ELSE 0.0 END AS leak_frac
+    FROM (SELECT DISTINCT doc_id FROM ev) d
+    LEFT JOIN base b ON b.doc_id = d.doc_id
+    LEFT JOIN hits hi ON hi.doc_id = d.doc_id"""
+
+
+_EXTRA_QUERIES["eval_contamination"] = q_eval_contamination
+_EXTRA_ORACLES["eval_contamination"] = _o_eval_contamination
+
+
 # =========================================================================
 # DSIR importance resampling (target-domain upweighting)
 # =========================================================================

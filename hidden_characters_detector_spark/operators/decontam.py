@@ -178,6 +178,52 @@ def contamination_report(train: DataFrame, eval_df: DataFrame, *,
             .agg(F.count("*").cast("long").alias("n_hits")))
 
 
+def eval_contamination(train: DataFrame, eval_df: DataFrame, *,
+                       text_col: str = "text", id_col: str = "doc_id",
+                       k: int = 20,
+                       broadcast_eval: bool = True) -> DataFrame:
+    """The EVAL-side audit — for each benchmark item, how much of it
+    leaked into the training corpus: ``(id_col, n_shingles, n_leaked,
+    n_train_docs, leak_frac)`` where ``n_shingles`` counts the item's
+    distinct ``k``-gram hashes, ``n_leaked`` how many of those occur
+    anywhere in train, ``n_train_docs`` how many distinct training docs
+    share ≥1 of them, and ``leak_frac = n_leaked / n_shingles`` (0.0 for
+    shingle-less items).  The train-side report
+    (:func:`contamination_report`) answers "which training docs to
+    drop"; this one answers "which eval items are already compromised" —
+    the number a benchmark-integrity review actually quotes.
+
+    Every eval item emits a row (clean items score zeros).
+
+    Scale shape: both sides reduce to distinct ``(doc, hash)`` rows
+    inside the Arrow kernel; the benchmark-sized eval side is BROADCAST
+    into the hash join (train never shuffles to meet it), the match set
+    is bounded by true leaks × sharing docs, and the two distinct-counts
+    are one partial-aggregated ``groupBy(eval id)``."""
+    th = doc_shingle_hashes(train, text_col, id_col, k=k) \
+        .withColumnRenamed(id_col, "_train_id")
+    eh = doc_shingle_hashes(eval_df, text_col, id_col, k=k)
+    base = eh.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_shingles"))
+    probe = eh if not broadcast_eval else F.broadcast(eh)
+    matches = probe.join(th, "shingle_hash")
+    hits = matches.groupBy(id_col).agg(
+        F.count_distinct("shingle_hash").cast("long").alias("n_leaked"),
+        F.count_distinct("_train_id").cast("long").alias("n_train_docs"))
+    joined = (eval_df.select(id_col).distinct()
+              .join(base, id_col, "left")
+              .join(hits, id_col, "left"))
+    n_sh = F.coalesce(F.col("n_shingles"), F.lit(0))
+    n_lk = F.coalesce(F.col("n_leaked"), F.lit(0))
+    return joined.select(
+        id_col,
+        n_sh.alias("n_shingles"),
+        n_lk.alias("n_leaked"),
+        F.coalesce(F.col("n_train_docs"), F.lit(0)).alias("n_train_docs"),
+        F.when(n_sh > 0, F.round(n_lk / n_sh.cast("double"), 6))
+        .otherwise(0.0).alias("leak_frac"))
+
+
 def decontaminate(train: DataFrame, eval_df: DataFrame, *,
                   text_col: str = "text", id_col: str = "doc_id",
                   k: int = 20, min_hits: int = 1,

@@ -16,11 +16,13 @@ Stages, in curation order (each independently switchable):
  2. quality + language     — heuristic score >= --quality-min, language
                              in --lang (skip with --quality-min 0)
  3. repetition filter      — Gopher repetition signals, drop is_repetitive
- 3b. unigram-LM band-pass  — mean bits/word under the corpus' own top-k
-                             unigram model within [--bits-min, --bits-max]
-                             (CCNet-style: both tails cut; at production
-                             scale score against a precomputed reference
-                             model instead of re-deriving per run)
+ 3b. LM band-pass          — mean bits/word under the corpus' own top-k
+                             model within [--bits-min, --bits-max]
+                             (CCNet-style: both tails cut; --lm-order 2
+                             scores conditional bigram bits with unigram
+                             backoff; at production scale score against a
+                             precomputed reference model instead of
+                             re-deriving per run)
  4. line dedup             — cross-document boilerplate removal (C4)
  4b. substring dedup       — ExactSubstr: repeated >=K-char spans keep
                              only the corpus-order first occurrence
@@ -145,6 +147,10 @@ def main() -> None:
                     help="drop docs above this mean bits/word")
     ap.add_argument("--vocab-k", type=int, default=50000,
                     help="unigram-model vocabulary size for --bits-*")
+    ap.add_argument("--lm-order", type=int, default=1, choices=(1, 2),
+                    help="band-pass LM order: 1 = unigram, 2 = bigram "
+                         "(conditional bits, unigram backoff; bigram "
+                         "head also sized by --vocab-k)")
     ap.add_argument("--decontam-k", type=int, default=20)
     ap.add_argument("--decontam-min-hits", type=int, default=1)
     ap.add_argument("--train-frac", type=float, default=None,
@@ -220,7 +226,15 @@ def main() -> None:
         total = wc.agg(F.sum("cnt")).collect()[0][0] or 1
         model = (wc.orderBy(F.col("cnt").desc(), F.col("word").asc())
                  .limit(args.vocab_k))
-        sc = text_analysis.unigram_logprob(cur, model, total_words=total)
+        if args.lm_order == 2:
+            bi = (text_analysis.word_bigram_counts(cur)
+                  .orderBy(F.col("cnt").desc(), "word_a", "word_b")
+                  .limit(args.vocab_k))
+            sc = text_analysis.bigram_logprob(cur, model, bi,
+                                              total_words=total)
+        else:
+            sc = text_analysis.unigram_logprob(cur, model,
+                                               total_words=total)
         lo = args.bits_min if args.bits_min is not None else float("-inf")
         hi = args.bits_max if args.bits_max is not None else float("inf")
         keep = (sc.where(F.col("bits_per_word").between(lo, hi))
@@ -234,7 +248,7 @@ def main() -> None:
         # resets the plan.  (Cluster caveat: blocks are executor-local;
         # prefer a reliable checkpoint dir under executor churn.)
         cur = cur.localCheckpoint()
-        note("unigram_lm", cur)
+        note("unigram_lm" if args.lm_order == 1 else "bigram_lm", cur)
     # 4. line/paragraph dedup.  In LINE mode, collapse within-doc
     # repeats first (repeated nav menus keep one copy even when no other
     # doc shares them; cross-doc distinct-doc counts are unaffected

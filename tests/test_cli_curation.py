@@ -97,18 +97,18 @@ def test_cli_curation_end_to_end(spark, tmp_path):
          "--input", src2, "--output", out2, "--eval", evl,
          "--master", "local[2]", "--mix-alpha", "0.5",
          "--mix-budget", "4", "--near-dedup",
-         "--bits-min", "1", "--bits-max", "30"],
+         "--bits-min", "1", "--bits-max", "30", "--lm-order", "2"],
         cwd=REPO, env=env, capture_output=True, text=True, timeout=900)
     assert res2.returncode == 0, res2.stderr[-4000:]
     line2 = [ln for ln in res2.stdout.splitlines()
              if ln.startswith("CURATION ")][0]
     counts2 = json.loads(line2[len("CURATION "):])
-    for key in ("input", "quality_lang", "repetition", "unigram_lm",
+    for key in ("input", "quality_lang", "repetition", "bigram_lm",
                 "line_dedup", "exact_dedup", "near_dedup", "decontaminate",
                 "temperature_mix", "written"):
         assert key in counts2, counts2
     assert counts2["input"] == 9
-    assert counts2["unigram_lm"] == 9          # wide band drops nothing
+    assert counts2["bigram_lm"] == 9           # wide band drops nothing
     assert counts2["exact_dedup"] == 8         # doc-6 clone dropped
     assert counts2["near_dedup"] == 7          # one of {3, twin} dropped
     assert counts2["decontaminate"] == 6       # leaked doc 5 dropped

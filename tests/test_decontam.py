@@ -116,3 +116,27 @@ def test_decontaminate_plan_broadcast_semi_no_cartesian(spark):
     for ln in plan.splitlines():
         if "Exchange hashpartitioning" in ln:
             assert "text#" not in ln, ln
+
+
+def test_eval_contamination_per_item(spark):
+    """Eval-side audit: e0's planted phrase leaks its 11 internal
+    20-grams plus the space-boundary gram (present in t0) from TWO train
+    docs; clean and sub-k eval items emit explicit zero rows."""
+    train, evl = _fixtures(spark)
+    evl = evl.union(spark.createDataFrame([("e2", "tiny")],
+                                          "doc_id string, text string"))
+    got = {r["doc_id"]: r for r in
+           decontam.eval_contamination(train, evl, k=20).collect()}
+    assert set(got) == {"e0", "e1", "e2"}
+    e0 = got["e0"]
+    assert e0["n_shingles"] == 22           # 41-char item, all distinct
+    assert e0["n_leaked"] == 12
+    assert e0["n_train_docs"] == 2          # t0 and t2
+    assert e0["leak_frac"] == round(12 / 22, 6)
+    e1 = got["e1"]
+    assert e1["n_shingles"] > 0
+    assert (e1["n_leaked"], e1["n_train_docs"], e1["leak_frac"]) \
+        == (0, 0, 0.0)
+    e2 = got["e2"]                          # shorter than k: no signal
+    assert (e2["n_shingles"], e2["n_leaked"], e2["n_train_docs"],
+            e2["leak_frac"]) == (0, 0, 0, 0.0)
