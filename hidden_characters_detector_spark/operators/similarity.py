@@ -134,7 +134,9 @@ def ivf_topk(df: DataFrame, query: Sequence[float], *,
              vec_col: str = "embedding", id_col: str = "vec_id",
              k: int = 10, n_lists: int | None = None, nprobe: int = 2,
              iters: int = 3, n_vectors: int | None = None,
-             target_cluster_size: int = 200) -> DataFrame:
+             target_cluster_size: int = 200,
+             index: tuple[DataFrame, np.ndarray] | None = None
+             ) -> DataFrame:
     """IVF (inverted-file) ANN: a k-means coarse quantizer partitions the
     corpus into ``n_lists`` inverted lists; a query scores EXACT cosine
     against only the ``nprobe`` lists whose centroids are nearest — the
@@ -165,13 +167,23 @@ def ivf_topk(df: DataFrame, query: Sequence[float], *,
     probe ranking is :func:`rank_ivf_lists` (dim-order folds, id
     tiebreak); cosine is scored on the quantizer's rounded vectors and
     rounded to 6 decimals before the (cosine DESC, id) top-k order.
+
+    ``index``: a prebuilt ``(assigned, centroids)`` pair from
+    ``clustering.kmeans_fit`` over the SAME corpus — the production
+    path: fit once, store ``assigned`` partitioned by ``cluster``, and
+    serve every query from the stored index (``df`` and the fit
+    parameters are then ignored).  Without it, each call refits — fine
+    for one-off queries, wasteful in a serving loop.
     """
     from . import clustering
 
-    assigned, centroids, _ = clustering.kmeans_fit(
-        df.select(id_col, vec_col), vec_col=vec_col, id_col=id_col,
-        k=n_lists, iters=iters, n_vectors=n_vectors,
-        target_cluster_size=target_cluster_size, materialize=False)
+    if index is not None:
+        assigned, centroids = index
+    else:
+        assigned, centroids, _ = clustering.kmeans_fit(
+            df.select(id_col, vec_col), vec_col=vec_col, id_col=id_col,
+            k=n_lists, iters=iters, n_vectors=n_vectors,
+            target_cluster_size=target_cluster_size, materialize=False)
     probe = rank_ivf_lists(centroids, query, nprobe)
     cand = assigned.where(F.col("cluster").isin(probe))
     return cosine_topk(cand, query, vec_col="v", id_col=id_col, k=k)
@@ -239,7 +251,9 @@ def ivf_batch_topk(corpus: DataFrame, queries: DataFrame, *,
                    query_id: str = "query_id", k: int = 10,
                    n_lists: int | None = None, nprobe: int = 2,
                    iters: int = 3, n_vectors: int | None = None,
-                   target_cluster_size: int = 200) -> DataFrame:
+                   target_cluster_size: int = 200,
+                   index: tuple[DataFrame, np.ndarray] | None = None
+                   ) -> DataFrame:
     """Batch ANN — a QUERY TABLE against an IVF index, the realistic
     100 TB similarity-search shape (:func:`ivf_topk` is its single-query
     special case): every query meets candidates ONLY inside its ``nprobe``
@@ -264,10 +278,13 @@ def ivf_batch_topk(corpus: DataFrame, queries: DataFrame, *,
 
     from . import clustering
 
-    assigned, centroids, _ = clustering.kmeans_fit(
-        corpus.select(corpus_id, vec_col), vec_col=vec_col,
-        id_col=corpus_id, k=n_lists, iters=iters, n_vectors=n_vectors,
-        target_cluster_size=target_cluster_size, materialize=False)
+    if index is not None:
+        assigned, centroids = index
+    else:
+        assigned, centroids, _ = clustering.kmeans_fit(
+            corpus.select(corpus_id, vec_col), vec_col=vec_col,
+            id_col=corpus_id, k=n_lists, iters=iters, n_vectors=n_vectors,
+            target_cluster_size=target_cluster_size, materialize=False)
     probes = ivf_probe_lists(queries, centroids, vec_col=vec_col,
                              id_col=query_id, nprobe=nprobe)
     cand = probes.join(assigned, "cluster")

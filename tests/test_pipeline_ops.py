@@ -1061,3 +1061,25 @@ def test_cross_source_overlap_hand_computed(spark):
     exchange_lines = [ln for ln in plan.splitlines() if "Exchange" in ln]
     assert exchange_lines
     assert all("text" not in ln for ln in exchange_lines)
+
+
+def test_ivf_index_reuse_equals_refit(spark):
+    """Passing a prebuilt (assigned, centroids) index gives the same
+    result as refitting — the production fit-once/serve-many path."""
+    from hidden_characters_detector_spark.operators import clustering
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+    q = emb.limit(1).collect()[0]["embedding"]
+    idx = clustering.kmeans_fit(emb.select("vec_id", "embedding"),
+                                k=4, iters=2, materialize=False)[:2]
+    refit = similarity.ivf_topk(emb, q, k=5, n_lists=4, nprobe=2,
+                                iters=2).collect()
+    reuse = similarity.ivf_topk(emb, q, k=5, index=idx,
+                                nprobe=2).collect()
+    assert [tuple(r) for r in refit] == [tuple(r) for r in reuse]
+    queries = emb.limit(3).selectExpr("vec_id AS query_id", "embedding")
+    b_refit = similarity.ivf_batch_topk(emb, queries, k=3, n_lists=4,
+                                        nprobe=2, iters=2).collect()
+    b_reuse = similarity.ivf_batch_topk(emb, queries, k=3, index=idx,
+                                        nprobe=2).collect()
+    assert sorted(map(tuple, b_refit)) == sorted(map(tuple, b_reuse))
