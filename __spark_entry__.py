@@ -2972,6 +2972,56 @@ _EXTRA_QUERIES["eval_contamination"] = q_eval_contamination
 _EXTRA_ORACLES["eval_contamination"] = _o_eval_contamination
 
 
+def q_containment_pairs(spark, sf_dir):
+    """Asymmetric containment near-dups (``dedup.containment_pairs``)
+    over the corpus plus planted quoted chunks (every 9th doc's chars
+    31–150 as a new 'C'-suffixed doc — fully contained, Jaccard-invisible
+    at ~0.2).  Hot shingles (df > 20) are excluded from the pair join;
+    the oracle replicates hash, cap, counts and the lower-bound
+    containment arithmetic."""
+    from hidden_characters_detector_spark.operators import dedup
+    docs_raw = _table(spark, sf_dir, "documents")
+    base = docs_raw.selectExpr("cast(doc_id as string) AS doc_id", "text")
+    chunks = docs_raw.where("doc_id % 9 = 0 AND length(text) >= 160") \
+        .selectExpr("concat(cast(doc_id as string), 'C') AS doc_id",
+                    "substr(text, 31, 120) AS text")
+    return dedup.containment_pairs(base.unionByName(chunks), k=20,
+                                   min_containment=0.5,
+                                   max_shingle_df=20)
+
+
+def _o_containment_pairs(k: int = 20):
+    h = _o_shingle_hash_expr(k)
+    cont = "round(n_shared / CAST(least(sa.n, sb.n) AS DOUBLE), 6)"
+    return f"""
+    WITH corpus AS (
+      SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents
+      UNION ALL
+      SELECT CAST(doc_id AS VARCHAR) || 'C', substr(text, 31, 120)
+      FROM documents WHERE doc_id % 9 = 0 AND length(text) >= 160),
+    sh AS (
+      SELECT DISTINCT doc_id, {h} AS h
+      FROM corpus, unnest(range(1, length(text) - {k - 2})) AS t(i)),
+    sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+              FROM sh GROUP BY doc_id),
+    kept AS (SELECT h FROM (SELECT h, count(*) AS d FROM sh GROUP BY h)
+             WHERE d >= 2 AND d <= 20),
+    s2 AS (SELECT doc_id, h FROM sh WHERE h IN (SELECT h FROM kept)),
+    p AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(count(*) AS BIGINT) AS n_shared
+      FROM s2 a JOIN s2 b ON a.h = b.h AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id)
+    SELECT doc_a, doc_b, n_shared, {cont} AS containment
+    FROM p JOIN sizes sa ON sa.doc_id = p.doc_a
+           JOIN sizes sb ON sb.doc_id = p.doc_b
+    WHERE {cont} >= 0.5"""
+
+
+_EXTRA_QUERIES["containment_pairs"] = q_containment_pairs
+_EXTRA_ORACLES["containment_pairs"] = _o_containment_pairs
+
+
 # =========================================================================
 # DSIR importance resampling (target-domain upweighting)
 # =========================================================================

@@ -377,6 +377,60 @@ def cross_source_overlap(df: DataFrame, *, text_col: str = "text",
                  .alias("n_doc_pairs")))
 
 
+def containment_pairs(df: DataFrame, *, text_col: str = "text",
+                      id_col: str = "doc_id", k: int = 20,
+                      min_containment: float = 0.8,
+                      max_shingle_df: int = 100) -> DataFrame:
+    """ASYMMETRIC near-dup pairs by shingle containment (Broder 1997):
+    ``containment = |S(A) ∩ S(B)| / min(|S(A)|, |S(B)|)`` — the measure
+    that catches a small document quoted verbatim inside a much larger
+    one, which symmetric-Jaccard dedup (minhash/simhash) structurally
+    misses (a doc fully contained in a 10× larger doc has Jaccard ≈ 0.1
+    and never crosses an 0.8 threshold).
+
+    Output: ``(doc_a, doc_b, n_shared, containment)`` for unordered pairs
+    with rounded containment ≥ ``min_containment`` (``doc_a < doc_b``).
+
+    Scale shape: each doc reduces to DISTINCT ``(doc, shingle_hash)``
+    rows inside the Arrow kernel; pairs meet ONLY on equal hashes (never
+    all-pairs), and hashes shared by more than ``max_shingle_df`` docs
+    (corpus-wide boilerplate) are EXCLUDED from the pair join, bounding
+    it at ``C(max_shingle_df, 2)`` pairs per hash.  Deliberate recall
+    contract: dropped hot shingles still count in each doc's DENOMINATOR
+    (``|S(A)|`` is the full distinct-shingle count), so the reported
+    containment is a LOWER BOUND on the true value — a pair held
+    together only by corpus-wide boilerplate should not match anyway.
+    Hashes in a single doc are skipped before the join (df ≥ 2 filter —
+    they cannot form a pair)."""
+    from .decontam import doc_shingle_hashes
+
+    sh = doc_shingle_hashes(df, text_col, id_col, k=k)
+    sizes = sh.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_shingles"))
+    kept = (sh.groupBy("shingle_hash")
+            .agg(F.count("*").alias("df_cnt"))
+            .where((F.col("df_cnt") >= 2)
+                   & (F.col("df_cnt") <= max_shingle_df))
+            .select("shingle_hash"))
+    sh2 = sh.join(kept, "shingle_hash", "left_semi")
+    a = sh2.select(F.col(id_col).alias("doc_a"), "shingle_hash")
+    b = sh2.select(F.col(id_col).alias("doc_b"), "shingle_hash")
+    shared = (a.join(b, "shingle_hash")
+              .where(F.col("doc_a") < F.col("doc_b"))
+              .groupBy("doc_a", "doc_b")
+              .agg(F.count("*").cast("long").alias("n_shared")))
+    sa = sizes.select(F.col(id_col).alias("doc_a"),
+                      F.col("n_shingles").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"),
+                      F.col("n_shingles").alias("nb"))
+    cont = F.round(F.col("n_shared")
+                   / F.least("na", "nb").cast("double"), 6)
+    return (shared.join(sa, "doc_a").join(sb, "doc_b")
+            .select("doc_a", "doc_b", "n_shared",
+                    cont.alias("containment"))
+            .where(F.col("containment") >= min_containment))
+
+
 def _pairwise_jaccard(texts_a: pa.Array, texts_b: pa.Array,
                       k: int) -> np.ndarray:
     """Exact k-shingle Jaccard for row-aligned text pairs, fully vectorized.

@@ -1083,3 +1083,30 @@ def test_ivf_index_reuse_equals_refit(spark):
     b_reuse = similarity.ivf_batch_topk(emb, queries, k=3, index=idx,
                                         nprobe=2).collect()
     assert sorted(map(tuple, b_refit)) == sorted(map(tuple, b_reuse))
+
+
+def test_containment_pairs_catches_quoted_chunk(spark):
+    """A small doc fully quoted inside a much larger one: containment
+    1.0 while symmetric Jaccard sits far below any dedup threshold —
+    the asymmetric case the minhash family structurally misses.  Hot
+    shingles past max_shingle_df stay out of the pair join but still
+    count in the denominator (lower-bound contract)."""
+    rng = np.random.default_rng(11)
+    big = "".join(chr(ord("a") + int(x))
+                  for x in rng.integers(0, 26, 200))
+    small = big[50:110]                       # 60 chars, fully contained
+    other = "".join(chr(ord("a") + int(x))
+                    for x in rng.integers(0, 26, 200))
+    df = spark.createDataFrame(
+        [("big", big), ("chunk", small), ("other", other), ("tiny", "x")],
+        "doc_id string, text string")
+    got = {(r.doc_a, r.doc_b): (r.n_shared, r.containment)
+           for r in dedup.containment_pairs(df, k=20,
+                                            min_containment=0.8).collect()}
+    assert set(got) == {("big", "chunk")}
+    n_shared, cont = got[("big", "chunk")]
+    assert n_shared == 41 and cont == 1.0     # all 41 20-grams shared
+    # symmetric Jaccard would be ~41/181 — invisible to minhash dedup
+    pairs = dedup.minhash_lsh_pairs(df, jaccard_threshold=0.8)
+    assert not any({r["doc_a"], r["doc_b"]} == {"big", "chunk"}
+                   for r in pairs.collect())
