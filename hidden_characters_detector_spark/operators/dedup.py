@@ -431,6 +431,44 @@ def containment_pairs(df: DataFrame, *, text_col: str = "text",
             .where(F.col("containment") >= min_containment))
 
 
+def drop_contained(df: DataFrame, *, text_col: str = "text",
+                   id_col: str = "doc_id", k: int = 20,
+                   min_containment: float = 0.9,
+                   max_shingle_df: int = 100) -> DataFrame:
+    """Containment-dedup curation policy: for every
+    :func:`containment_pairs` hit, DROP the doc with the smaller distinct
+    shingle set (it is the quoted/contained side; exact ties break to
+    keeping the smaller id) and return the surviving rows with their
+    original schema.  A doc contained in several others is dropped once;
+    drops do not cascade (the containing doc keeps its own fate
+    independently — both members of a chain A⊂B⊂C can drop, C stays).
+
+    Scale shape: the pair stage is :func:`containment_pairs` (hash-equi,
+    df-capped); sizes are one partial-agged groupBy; the final drop is a
+    broadcast anti-join of the (small) loser-id list — the corpus never
+    shuffles for the verdict (the ``drop_non_representatives``
+    pattern)."""
+    from .decontam import doc_shingle_hashes
+
+    pairs = containment_pairs(df, text_col=text_col, id_col=id_col, k=k,
+                              min_containment=min_containment,
+                              max_shingle_df=max_shingle_df)
+    sizes = (doc_shingle_hashes(df, text_col, id_col, k=k)
+             .groupBy(id_col)
+             .agg(F.count("*").cast("long").alias("n_shingles")))
+    sa = sizes.select(F.col(id_col).alias("doc_a"),
+                      F.col("n_shingles").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"),
+                      F.col("n_shingles").alias("nb"))
+    j = pairs.join(sa, "doc_a").join(sb, "doc_b")
+    loser = (F.when(F.col("na") < F.col("nb"), F.col("doc_a"))
+             .when(F.col("na") > F.col("nb"), F.col("doc_b"))
+             # equal sizes: doc_a < doc_b by construction — keep doc_a
+             .otherwise(F.col("doc_b")))
+    dropped = j.select(loser.alias(id_col)).distinct()
+    return df.join(F.broadcast(dropped), id_col, "left_anti")
+
+
 def _pairwise_jaccard(texts_a: pa.Array, texts_b: pa.Array,
                       k: int) -> np.ndarray:
     """Exact k-shingle Jaccard for row-aligned text pairs, fully vectorized.

@@ -31,6 +31,9 @@ Stages, in curation order (each independently switchable):
                              shuffle, detection guaranteed for repeats
                              >= W+K-1 chars — the at-scale setting)
  5. exact dedup            — min-id keeper per content hash
+ 5b'. containment dedup    — drop docs ≥TAU shingle-contained in a larger
+                             doc (--containment-drop TAU; the asymmetric
+                             quoting case Jaccard near-dedup misses)
  5b. near-dup dedup        — LSH → verify → groups (--near-dedup), keep
                              the LONGEST member per group (keeper
                              election; --near-threshold)
@@ -131,6 +134,11 @@ def main() -> None:
                          "cross-boundary training blocks of this many "
                          "tokens (doc_id order) instead of documents; "
                          "incompatible with --epoch/--train-frac")
+    ap.add_argument("--containment-drop", type=float, default=None,
+                    metavar="TAU",
+                    help="drop docs >=TAU shingle-contained in a larger "
+                         "doc (catches verbatim quoting that symmetric-"
+                         "Jaccard near-dedup misses)")
     ap.add_argument("--near-dedup", action="store_true",
                     help="near-dup grouping (LSH->verify->CC) with "
                          "longest-member keeper election")
@@ -309,6 +317,14 @@ def main() -> None:
         cur = dedup.drop_non_representatives(cur, groups, reps)
         release += [groups, reps]
         note("near_dedup", cur)
+    # 5b'. containment dedup: drop docs quoted verbatim inside a LARGER
+    # surviving doc — the asymmetric case symmetric-Jaccard near-dedup
+    # cannot see (a fully contained doc sits at Jaccard ≈ size ratio)
+    if args.containment_drop is not None:
+        cur = dedup.drop_contained(
+            cur.localCheckpoint(),  # pair stage evaluates input twice
+            min_containment=args.containment_drop)
+        note("containment_dedup", cur)
     # 5c. cross-snapshot history dedup: drop docs whose text may already
     # be in the previous snapshot.  Bloom membership has NO false
     # negatives (nothing already in history survives) and the false

@@ -1110,3 +1110,20 @@ def test_containment_pairs_catches_quoted_chunk(spark):
     pairs = dedup.minhash_lsh_pairs(df, jaccard_threshold=0.8)
     assert not any({r["doc_a"], r["doc_b"]} == {"big", "chunk"}
                    for r in pairs.collect())
+
+
+def test_drop_contained_keeps_larger_doc(spark):
+    """Containment-dedup policy: the quoted (smaller-shingle-set) side
+    of each >=tau pair drops, the containing doc and unrelated docs
+    survive with the original schema."""
+    rng = np.random.default_rng(13)
+    big = "".join(chr(ord("a") + int(x))
+                  for x in rng.integers(0, 26, 200))
+    other = "".join(chr(ord("a") + int(x))
+                    for x in rng.integers(0, 26, 200))
+    df = spark.createDataFrame(
+        [("big", big), ("chunk", big[40:120]), ("other", other)],
+        "doc_id string, text string")
+    out = dedup.drop_contained(df, min_containment=0.9)
+    assert out.columns == df.columns
+    assert {r["doc_id"] for r in out.collect()} == {"big", "other"}
