@@ -83,18 +83,24 @@ def bloom_positions(key: str | Column, *, m: int, k: int,
 
 
 def bloom_build(df: DataFrame, key_col: str = "text", *, m: int,
-                k: int = 7, salt: str = "bloom") -> bytes:
+                k: int = 7, salt: str = "bloom",
+                max_partials: int = 64) -> bytes:
     """Build the ``m``-bit filter over ``df[key_col]``; returns
     ``ceil(m/8)`` packed bytes (MSB-first within a byte, numpy
     ``packbits`` order).
 
     One narrow pass: positions are computed JVM-side, exploded map-side,
     and each partition emits a single ``m/8``-byte partial bitset from a
-    vectorized numpy scatter; the driver ORs ``numPartitions`` partials.
-    Nothing shuffles and no key ever reaches the driver.  For filters
-    where ``numPartitions * m/8`` strains the driver, OR in layers
-    (coalesce the partials DataFrame before collecting) — at the sizes
-    this sandbox can hold, the flat OR is exact and cheap.
+    vectorized numpy scatter.  Nothing but partial bitsets ever moves and
+    no key ever reaches the driver.  Driver ingress is BOUNDED: when the
+    scan has more than ``max_partials`` partitions, the partials are
+    hash-repartitioned to ``max_partials`` tasks and OR-merged in a
+    second map stage before the collect (a two-level treeAggregate), so
+    the driver always pulls at most ``max_partials × m/8`` bytes no
+    matter how many thousand partitions the scan has — OR is associative
+    and commutative, so the resulting bits are identical to the flat
+    merge by construction.  Scans at or below ``max_partials`` partitions
+    skip the extra stage entirely.
     """
     import pyarrow as pa
 
@@ -113,7 +119,26 @@ def bloom_build(df: DataFrame, key_col: str = "text", *, m: int,
             [pa.array([np.packbits(bits).tobytes()], type=pa.binary())],
             ["bits"])
 
-    partials = pos_df.mapInArrow(partial_bits, "bits binary").collect()
+    def or_bits(batches):
+        acc = np.zeros(nbytes, dtype=np.uint8)
+        seen = False
+        for b in batches:
+            col = b.column(0)
+            for i in range(len(col)):
+                acc |= np.frombuffer(col[i].as_py(), dtype=np.uint8)
+                seen = True
+        if seen:
+            yield pa.RecordBatch.from_arrays(
+                [pa.array([acc.tobytes()], type=pa.binary())], ["bits"])
+
+    partials_df = pos_df.mapInArrow(partial_bits, "bits binary")
+    if pos_df.rdd.getNumPartitions() > max_partials:
+        # repartition, not coalesce: coalesce would propagate the reduced
+        # partition count INTO the scan and single-thread the build; the
+        # shuffle here moves only the m/8-byte partials themselves
+        partials_df = partials_df.repartition(max_partials) \
+            .mapInArrow(or_bits, "bits binary")
+    partials = partials_df.collect()
     out = np.zeros(nbytes, dtype=np.uint8)
     for row in partials:
         out |= np.frombuffer(row.bits, dtype=np.uint8)

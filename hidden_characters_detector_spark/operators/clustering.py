@@ -154,11 +154,84 @@ def _update(assigned: DataFrame, centroids: np.ndarray) -> np.ndarray:
     return out
 
 
+def _fit_local(rows: list, k: int, iters: int) -> np.ndarray:
+    """Driver-local Lloyd's over collected ``(id, v)`` rows — the SAME
+    cross-engine protocol as the distributed loop, step for step:
+
+    * init = the ``k`` vectors with the smallest ids (rank order);
+    * assignment = argmin of the dim-order-accumulated squared distance
+      (``np.argmin`` takes the first minimum — the smaller-cluster-id
+      tiebreak of :func:`_assign`);
+    * update = ``round(float(Σ decimal(coord)) / n, 6)`` where
+      ``decimal(coord)`` quantizes the double's SHORTEST decimal
+      representation to 6 places HALF_UP — exactly what Spark's
+      ``cast(double as decimal(28,6))`` computes (``BigDecimal.valueOf``
+      is ``Double.toString``-based), so the exact decimal sums, and
+      therefore every centroid coordinate, are bit-identical to
+      :func:`_update`'s; empty clusters keep their previous centroid.
+
+    The quantizer fit is O(n·k·dim) driver compute over data that was
+    going to be scanned ``iters`` times anyway — running it locally
+    replaces the per-iteration Spark job ladder (each job paying the
+    scheduler's fixed floor) with one collect.
+    """
+    from decimal import Decimal
+
+    v0 = rows[0][1]
+    if v0 is None:
+        raise ValueError(
+            "kmeans_fit: NULL embedding vector in input "
+            "(filter or impute upstream)")
+    dim = len(v0)
+    ids = [r[0] for r in rows]
+    order = np.argsort(np.array(ids, dtype=object)) \
+        if isinstance(ids[0], str) else np.argsort(ids)
+    X = np.empty((len(rows), dim), dtype=np.float64)
+    for i, r in enumerate(rows):
+        v = r[1]
+        if v is None or any(x is None for x in v):
+            raise ValueError(
+                "kmeans_fit: NULL embedding vector or element in input "
+                "(filter or impute upstream)")
+        if len(v) != dim:
+            raise ValueError(
+                f"kmeans_fit: embedding of length {len(v)} != "
+                f"centroid dim {dim} (ragged input)")
+        X[i] = v
+    centroids = X[order[:k]].copy()
+    # every coordinate is already a 6-decimal value (the rounded
+    # projection), so its decimal(28,6) cast is exactly the integer
+    # micros np.rint recovers — the sums below are the same exact
+    # decimal sums _update's Spark aggregation produces
+    micros = np.rint(X * 1e6).astype(np.int64)
+    if micros.size and int(np.abs(micros).max()) * len(rows) >= 1 << 62:
+        raise ValueError("kmeans_fit: coordinates too large for the "
+                         "exact int64 decimal sums")
+    for _ in range(iters - 1):
+        k_ = centroids.shape[0]
+        acc = np.zeros((X.shape[0], k_), dtype=np.float64)
+        for j in range(dim):
+            d = X[:, j, None] - centroids[None, :, j]
+            acc += d * d
+        cluster = np.argmin(acc, axis=1)
+        counts = np.bincount(cluster, minlength=k_)
+        sums = np.zeros((k_, dim), dtype=np.int64)
+        np.add.at(sums, cluster, micros)
+        new = centroids.copy()
+        for c in np.nonzero(counts)[0]:
+            n = int(counts[c])
+            new[c] = [round(float(Decimal(int(sums[c, j])).scaleb(-6))
+                            / n, 6) for j in range(dim)]
+        centroids = new
+    return centroids
+
+
 def kmeans_fit(df: DataFrame, *, vec_col: str = "embedding",
                id_col: str = "vec_id", k: int | None = None,
                iters: int = 3, n_vectors: int | None = None,
                target_cluster_size: int = 200,
-               materialize: bool = True
+               materialize: bool = True,
+               local_fit_max_vectors: int = 100_000
                ) -> tuple[DataFrame, np.ndarray, DataFrame | None]:
     """:func:`kmeans_assign` plus the FITTED CENTROIDS — the ``(k, dim)``
     float64 array the final assignment pass used (i.e. the
@@ -167,10 +240,42 @@ def kmeans_fit(df: DataFrame, *, vec_col: str = "embedding",
     search ranks query probes against (`similarity.ivf_topk`); it is
     O(k·dim) driver-side data, never a distributed object.  Returns
     ``(assigned, centroids, cache_handle)``; same cache contract as
-    :func:`kmeans_assign`."""
+    :func:`kmeans_assign`.
+
+    When the corpus is at or below ``local_fit_max_vectors`` rows the
+    quantizer TRAINS on the driver (:func:`_fit_local` — one collect of
+    the rounded vectors, then local Lloyd's, bit-identical by the
+    cross-engine protocol): this is the FAISS convention (quantizers
+    train locally on bounded data) and it removes the per-iteration
+    Spark job ladder — ``iters`` full jobs each paying the scheduler's
+    fixed floor — leaving exactly one distributed assignment pass.
+    Above the threshold the distributed loop runs unchanged.  Set
+    ``local_fit_max_vectors=0`` to force the distributed loop.
+    """
     if iters < 1:
         raise ValueError("iters must be >= 1")
     pts = _rounded_vectors(df, id_col, vec_col)
+    if n_vectors is None and local_fit_max_vectors:
+        n_vectors = pts.count()
+    if local_fit_max_vectors and n_vectors <= local_fit_max_vectors:
+        handle = None
+        if materialize:
+            from pyspark import StorageLevel
+            pts = pts.persist(StorageLevel.MEMORY_AND_DISK)
+            handle = pts
+        try:
+            rows = pts.collect()
+            if k is None:
+                k = auto_k(len(rows),
+                           target_cluster_size=target_cluster_size)
+            if len(rows) < k:
+                raise ValueError(f"k={k} exceeds corpus size {len(rows)}")
+            centroids = _fit_local(rows, k, iters)
+        except BaseException:
+            if handle is not None:
+                handle.unpersist()
+            raise
+        return _assign(pts, centroids, pts.schema[0]), centroids, handle
     handle = None
     if materialize:
         from pyspark import StorageLevel
@@ -237,20 +342,22 @@ def pairs_within_clusters(assigned: DataFrame, *, id_col: str = "vec_id",
     path here): a ≥τ pair split across clusters is not a candidate.
     Cosine runs JVM-side (``zip_with``/``aggregate`` folds — the same
     sequential fold the oracle's ``list_reduce`` performs)."""
-    l, r = assigned.alias("l"), assigned.alias("r")
+    # the norm is a per-ROW quantity: compute it ONCE per vector before
+    # the self-join instead of once per pair on each side (cluster-local
+    # pairs multiply every vector ~occupancy×); identical fold, so every
+    # cosine bit is unchanged
+    with_n = assigned.withColumn("_n", F.sqrt(F.aggregate(
+        F.transform(F.col("v"), lambda x: x * x),
+        F.lit(0.0), lambda a, x: a + x)))
+    l, r = with_n.alias("l"), with_n.alias("r")
     dot = F.aggregate(F.zip_with(F.col("l.v"), F.col("r.v"),
                                  lambda x, y: x * y),
                       F.lit(0.0), lambda a, x: a + x)
 
-    def norm(side):
-        return F.sqrt(F.aggregate(
-            F.transform(F.col(f"{side}.v"), lambda x: x * x),
-            F.lit(0.0), lambda a, x: a + x))
-
     # zero vectors have no direction: cosine is NULL for them (a raw
     # 0/0 would be NaN, which Spark orders ABOVE every double — a zero
     # vector would otherwise "match" every cluster-mate at any threshold)
-    denom = norm("l") * norm("r")
+    denom = F.col("l._n") * F.col("r._n")
     cos = F.when(denom > 0, F.round(dot / denom, _ROUND))
     return (l.join(r, (F.col("l.cluster") == F.col("r.cluster"))
                    & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))

@@ -164,15 +164,72 @@ def contamination_report(train: DataFrame, eval_df: DataFrame, *,
     shares with the eval set.  Clean documents emit no row.
 
     ``broadcast_eval`` (default) broadcasts the eval set's distinct hash
-    set — correct whenever the eval side is benchmark-sized; pass
-    ``False`` to let the probe become a shuffle semi-join for an
-    unusually large eval corpus.
+    set — correct whenever the eval side is benchmark-sized — and fuses
+    the membership probe INTO the train-side shingle kernel: the hit
+    count per document is computed against the sorted broadcast array in
+    the same vectorized pass that produces the distinct shingles, so the
+    per-(doc, shingle) fan-out — ~one row per corpus character — is
+    never materialized through the Arrow boundary or a join at all; only
+    ``(id, n_hits)`` rows for HIT documents leave the kernel (identical
+    result to the relational form: same distinct-per-doc hash sets, same
+    membership, summed per id).  Pass ``False`` to keep the relational
+    shuffle semi-join for an unusually large eval corpus.
     """
+    if broadcast_eval:
+        rows = (doc_shingle_hashes(eval_df, text_col, id_col, k=k)
+                .select("shingle_hash").distinct().toPandas())
+        ev = np.sort(rows["shingle_hash"].to_numpy(dtype=np.int64))
+        bc = train.sparkSession.sparkContext.broadcast(ev)
+        slim = train.select(id_col, text_col)
+        id_type = slim.schema[id_col].dataType.simpleString()
+        ddl = f"{id_col} {id_type}, n_hits bigint"
+
+        def run(batches: Iterator[pa.RecordBatch]
+                ) -> Iterator[pa.RecordBatch]:
+            evv = bc.value
+            for batch in batches:
+                h, off = _flat_shingle_hashes(batch.column(text_col), k)
+                sh = h.astype(np.int64)
+                # probe FIRST (duplicates included — a hash hits for all
+                # or none of its repeats), then dedupe (row, hash) among
+                # the HIT positions only: the per-doc distinct lexsort
+                # runs over the leak sliver, not the whole corpus'
+                # shingle stream
+                if sh.size and evv.size:
+                    idx = np.minimum(np.searchsorted(evv, sh),
+                                     evv.size - 1)
+                    hit = evv[idx] == sh
+                else:
+                    hit = np.zeros(sh.size, dtype=bool)
+                lens = np.diff(off)
+                nrows = lens.shape[0]
+                counts = np.zeros(nrows, dtype=np.int64)
+                if hit.any():
+                    row = np.repeat(np.arange(nrows, dtype=np.int64),
+                                    lens)[hit]
+                    hh = sh[hit]
+                    order = np.lexsort((hh, row))
+                    r, v = row[order], hh[order]
+                    keep = np.ones(r.size, dtype=bool)
+                    keep[1:] = (v[1:] != v[:-1]) | (r[1:] != r[:-1])
+                    counts = np.bincount(r[keep], minlength=nrows)
+                nz = np.nonzero(counts)[0]
+                ids = batch.column(id_col).take(
+                    pa.array(nz, type=pa.int64()))
+                yield pa.RecordBatch.from_arrays(
+                    [ids, pa.array(counts[nz].astype(np.int64),
+                                   type=pa.int64())],
+                    names=[id_col, "n_hits"])
+
+        # one tiny aggregation over HIT docs only: merges rows of a doc
+        # split across batches (and duplicate-id inputs) exactly like the
+        # relational groupBy did
+        return (slim.mapInArrow(run, ddl)
+                .groupBy(id_col)
+                .agg(F.sum("n_hits").cast("long").alias("n_hits")))
     th = doc_shingle_hashes(train, text_col, id_col, k=k)
     eh = (doc_shingle_hashes(eval_df, text_col, id_col, k=k)
           .select("shingle_hash").dropDuplicates())
-    if broadcast_eval:
-        eh = F.broadcast(eh)
     return (th.join(eh, "shingle_hash", "left_semi")
             .groupBy(id_col)
             .agg(F.count("*").cast("long").alias("n_hits")))

@@ -134,9 +134,24 @@ def _minhash_batch(texts: pa.Array, a: np.ndarray, b: np.ndarray,
     nonempty = np.diff(offsets) > 0
     if hashes.size:
         starts = offsets[:-1][nonempty]
+        # the permutation value is ((a*h + b) mod 2^64) mod M61 (uint64
+        # wraparound then the Mersenne prime) — computed here with the
+        # exact shift-add reduction instead of a hardware division:
+        # t mod (2^61-1) == (t >> 61) + (t & M61), minus M61 once if the
+        # sum reaches it (sum < M61 + 8, so one conditional subtract is
+        # exact).  Buffers are preallocated once per batch: 64 perms ×
+        # per-perm temporaries would otherwise churn this VM's
+        # fault-priced allocator.
+        buf = np.empty(hashes.size, dtype=np.uint64)
+        q = np.empty(hashes.size, dtype=np.uint64)
         for i in range(num_perm):  # num_perm is a small constant (64)
-            v = (a[i] * hashes + b[i]) % _M61
-            sigs[i, nonempty] = np.minimum.reduceat(v, starts)
+            np.multiply(hashes, a[i], out=buf)
+            np.add(buf, b[i], out=buf)
+            np.right_shift(buf, np.uint64(61), out=q)
+            np.bitwise_and(buf, _M61, out=buf)
+            np.add(buf, q, out=buf)
+            np.subtract(buf, _M61, out=buf, where=buf >= _M61)
+            sigs[i, nonempty] = np.minimum.reduceat(buf, starts)
     return sigs.T
 
 
@@ -831,11 +846,52 @@ def incremental_near_dups(new_df: DataFrame, index_sig: DataFrame, *,
                     F.round("est_jaccard", 4).alias("est_jaccard")))
 
 
+def _components_local(edges: list) -> list:
+    """Driver-side union-find over a SMALL pair list -> the exact
+    ``dedup_groups`` output rows (node, min-member label, component size,
+    is_canonical).  Equivalent to :func:`connected_components` + the
+    grouping joins by construction: both label every node with the
+    smallest reachable member (Python string comparison orders by code
+    point, which equals Spark's UTF8String byte order — UTF-8 preserves
+    code point order — and numeric ids compare identically)."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in edges:
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[rb] = ra
+    comp_min: dict = {}
+    for node in parent:
+        r = find(node)
+        m = comp_min.get(r)
+        if m is None or node < m:
+            comp_min[r] = node
+    sizes: dict = {}
+    for node in parent:
+        lbl = comp_min[find(node)]
+        sizes[lbl] = sizes.get(lbl, 0) + 1
+    return [(node, comp_min[find(node)], sizes[comp_min[find(node)]],
+             node == comp_min[find(node)]) for node in parent]
+
+
 def dedup_groups(df: DataFrame, id_col: str = "doc_id",
                  text_col: str = "text", *, shingle_k: int = 5,
                  jaccard_threshold: float = 0.85,
                  num_perm: int = 64, bands: int = 16,
-                 seed: int = 42) -> DataFrame:
+                 seed: int = 42,
+                 driver_cc_max_pairs: int = 2_000_000) -> DataFrame:
     """End-to-end near-dup GROUPING: LSH candidates → exact-Jaccard verify
     → connected components → one canonical keeper per group.
 
@@ -845,14 +901,46 @@ def dedup_groups(df: DataFrame, id_col: str = "doc_id",
     majority, so emitting only grouped docs keeps the result tiny).
     group_id is the lexicographically smallest member; the keeper is that
     same doc (min-id policy, matching :func:`exact_dedup`).
+
+    Physical strategy is ADAPTIVE on the verified pair count (the same
+    small-side discipline as a broadcast-join threshold): at or below
+    ``driver_cc_max_pairs`` the pair list is collected and components run
+    as one driver-side union-find — the iterative label-propagation path
+    costs O(diameter) Spark jobs, each paying this-scheduler's fixed
+    per-job floor, to converge over a pair set that is tiny by
+    construction (verified near-dups at a high threshold).  Above the
+    threshold the distributed :func:`connected_components` loop runs
+    unchanged (the 100 TB path; ~2M pairs ≈ 10² MB driver ingress is the
+    default ceiling; set ``driver_cc_max_pairs=0`` to force it).
+    Identical output either way (min-label components, parity-tested).
     """
-    # persist the verified pair set: the CC symmetrization reads it twice
-    # and every propagation round joins against it — without this the
-    # LSH+verify pipeline would re-run per round
+    # persist the verified pair set: the threshold probe and the collect
+    # (or the CC symmetrization + every propagation round) re-read it —
+    # without this the LSH+verify pipeline would re-run per consumer
     pairs = verified_near_dups(df, id_col, text_col, shingle_k=shingle_k,
                                jaccard_threshold=jaccard_threshold,
                                num_perm=num_perm, bands=bands,
                                seed=seed).persist()
+    if driver_cc_max_pairs:
+        n_pairs = pairs.count()
+        if n_pairs <= driver_cc_max_pairs:
+            from pyspark.sql.types import (BooleanType, LongType,
+                                           StructField, StructType)
+
+            edges = [(r[0], r[1])
+                     for r in pairs.select("doc_a", "doc_b").collect()]
+            pairs.unpersist()
+            id_type = df.schema[id_col].dataType
+            schema = StructType([
+                StructField(id_col, id_type),
+                StructField("group_id", id_type),
+                StructField("group_size", LongType()),
+                StructField("is_canonical", BooleanType())])
+            out = df.sparkSession.createDataFrame(
+                _components_local(edges), schema)
+            # persisted handle returned for a uniform cache contract with
+            # the distributed path (the caller owns and releases it)
+            return out.persist()
     comp = connected_components(pairs)
     sizes = comp.groupBy("component").agg(
         F.count("*").cast("long").alias("group_size"))

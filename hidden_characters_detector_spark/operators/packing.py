@@ -169,9 +169,13 @@ def padding_waste(df: DataFrame, size_col: str = "n_tok", *,
 def global_exclusive_cumsum(df: DataFrame, order_col: str = "doc_id",
                             size_col: str = "n_tok", *,
                             ids_per_bucket: int = 1 << 20,
-                            out_col: str = "offset") -> DataFrame:
+                            out_col: str = "offset",
+                            attach: str = "broadcast") -> DataFrame:
     """Exclusive running total of ``size_col`` over the global
-    ``order_col`` order, WITHOUT a global single-partition window.
+    ``order_col`` order, WITHOUT a global single-partition window —
+    computed over the NARROW ``(order_col, size_col)`` projection only,
+    then re-attached to ``df``, so wide payload columns (token arrays)
+    never ride the cumsum's exchanges or sorts.
 
     ``order_col`` must be a unique non-negative integer id.  The id space
     splits into contiguous ranges (``id div ids_per_bucket``), so every
@@ -184,15 +188,29 @@ def global_exclusive_cumsum(df: DataFrame, order_col: str = "doc_id",
     longs — driver-trivial, data-independent).  The distributed
     prefix-sum shape, expressed declaratively so Catalyst/AQE own the
     physical plan.
+
+    ``attach`` controls how the computed offset rejoins the payload:
+    ``"broadcast"`` (default) broadcasts the ``(id, offset)`` relation —
+    16 bytes/doc, right up to ~10^8 docs — so the payload side is never
+    shuffled or sorted here at all; ``"shuffle"`` uses a shuffled-hash
+    join on the id (one payload exchange, NO payload sort — the narrow
+    side is the build side) for corpora whose id set outgrows a
+    broadcast.  Either way the payload no longer flows through the
+    window operator, which previously hash-partitioned and SORTED the
+    full rows per bucket (with the default bucket width and < 2^20 ids
+    that meant the whole payload sorted in ONE task).
     """
+    if attach not in ("broadcast", "shuffle"):
+        raise ValueError(f"attach must be 'broadcast' or 'shuffle', "
+                         f"got {attach!r}")
     b = (F.col(order_col).cast("long") / F.lit(ids_per_bucket)) \
         .cast("long").alias("__bucket")
-    with_b = df.withColumn("__bucket", b)
+    sizes = df.select(order_col, size_col).withColumn("__bucket", b)
     wi = (Window.partitionBy("__bucket").orderBy(order_col)
           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     within = (F.coalesce(F.sum(size_col).over(wi), F.lit(0))
               - F.col(size_col)).cast("long")
-    totals = with_b.groupBy("__bucket").agg(
+    totals = sizes.groupBy("__bucket").agg(
         F.sum(size_col).cast("long").alias("__btotal"))
     wb = (Window.orderBy("__bucket")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
@@ -200,14 +218,20 @@ def global_exclusive_cumsum(df: DataFrame, order_col: str = "doc_id",
         "__bucket",
         (F.coalesce(F.sum("__btotal").over(wb), F.lit(0))
          - F.col("__btotal")).cast("long").alias("__bprefix"))
-    return (with_b.join(F.broadcast(prefix), "__bucket")
-            .withColumn(out_col, (F.col("__bprefix") + within))
-            .drop("__bucket", "__bprefix"))
+    offsets = (sizes.join(F.broadcast(prefix), "__bucket")
+               .select(order_col,
+                       (F.col("__bprefix") + within).alias(out_col)))
+    if attach == "broadcast":
+        offsets = F.broadcast(offsets)
+    else:
+        offsets = offsets.hint("shuffle_hash")
+    return df.join(offsets, order_col).select(*df.columns, out_col)
 
 
 def pack_blocks(df: DataFrame, tokens_col: str = "tokens",
                 id_col: str = "doc_id", *, block: int = 2048,
-                ids_per_bucket: int = 1 << 20) -> DataFrame:
+                ids_per_bucket: int = 1 << 20,
+                attach: str = "broadcast") -> DataFrame:
     """Concatenate all documents' tokens in ascending ``id_col`` order
     and cut the stream into consecutive ``block``-token blocks that CROSS
     document boundaries (zero padding; only the last block of the corpus
@@ -223,11 +247,14 @@ def pack_blocks(df: DataFrame, tokens_col: str = "tokens",
     ``first_doc``, ``last_doc``.
 
     Scale shape: offsets via :func:`global_exclusive_cumsum` on the
-    narrow (id, size) projection; each doc explodes to one row per
-    TOUCHED block (``n_docs + n_tokens/block`` rows, never per-token);
-    token payload crosses exactly ONE exchange (the block regroup), and
-    within a block the fragments reassemble by an ``array_sort`` on the
-    carried offset — no second sort pass.
+    narrow (id, size) projection ONLY — the token payload never flows
+    through the cumsum's window exchange/sort; the per-doc offset is
+    re-attached by a broadcast (default) or shuffled-hash join
+    (``attach``, see :func:`global_exclusive_cumsum`); each doc explodes
+    to one row per TOUCHED block (``n_docs + n_tokens/block`` rows,
+    never per-token); token payload crosses exactly ONE exchange (the
+    block regroup), and within a block the fragments reassemble by an
+    ``array_sort`` on the carried offset — no second sort pass.
     """
     if block <= 0:
         raise ValueError("block must be positive")
@@ -236,7 +263,7 @@ def pack_blocks(df: DataFrame, tokens_col: str = "tokens",
         .withColumn("__n", n)
     off = global_exclusive_cumsum(base, id_col, "__n",
                                   ids_per_bucket=ids_per_bucket,
-                                  out_col="__off")
+                                  out_col="__off", attach=attach)
     first_b = (F.col("__off") / F.lit(block)).cast("long")
     last_b = ((F.col("__off") + F.col("__n") - 1) / F.lit(block)) \
         .cast("long")
@@ -292,8 +319,14 @@ def chunk_tokens(df: DataFrame, tokens_col: str = "tokens",
         F.posexplode(starts).alias("chunk_idx", "chunk_start"))
     sl = F.slice(F.col("_tok"), F.col("chunk_start").cast("int") + 1,
                  chunk)
-    return (out.select(id_col,
-                       F.col("chunk_idx").cast("long").alias("chunk_idx"),
-                       "chunk_start", sl.alias("chunk_tokens"))
-            .withColumn("n_chunk_tokens",
-                        F.size("chunk_tokens").cast("long")))
+    # n_chunk_tokens in CLOSED FORM (every start satisfies start < n, so
+    # the slice length is min(chunk, n - start)) rather than
+    # size(chunk_tokens): consumers that aggregate only the counts then
+    # never materialize the sliced arrays at all — Catalyst prunes the
+    # whole slice projection
+    n_chunk = F.least(F.lit(chunk).cast("long"),
+                      F.size("_tok").cast("long") - F.col("chunk_start"))
+    return out.select(id_col,
+                      F.col("chunk_idx").cast("long").alias("chunk_idx"),
+                      "chunk_start", sl.alias("chunk_tokens"),
+                      n_chunk.cast("long").alias("n_chunk_tokens"))

@@ -286,9 +286,15 @@ def ivf_batch_topk(corpus: DataFrame, queries: DataFrame, *,
             id_col=corpus_id, k=n_lists, iters=iters, n_vectors=n_vectors,
             target_cluster_size=target_cluster_size, materialize=False)
     probes = ivf_probe_lists(queries, centroids, vec_col=vec_col,
-                             id_col=query_id, nprobe=nprobe)
-    cand = probes.join(assigned, "cluster")
-    denom = _norm(F.col("qv")) * _norm(F.col("v"))
+                             id_col=query_id, nprobe=nprobe) \
+        .withColumn("_nq", _norm(F.col("qv")))
+    # norms are per-ROW quantities: computing them before the join makes
+    # them once-per-input-row instead of once-per-candidate-pair (each
+    # corpus vector meets ~nprobe × queries-per-list candidates) — the
+    # fold arithmetic (and therefore every cosine bit) is unchanged
+    corpus_side = assigned.withColumn("_nv", _norm(F.col("v")))
+    cand = probes.join(corpus_side, "cluster")
+    denom = F.col("_nq") * F.col("_nv")
     cos = F.when(denom > 0,
                  F.round(_dot(F.col("qv"), F.col("v")) / denom, 6))
     scored = (cand.select(query_id, corpus_id, cos.alias("cosine"))

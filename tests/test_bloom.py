@@ -131,3 +131,17 @@ def test_build_plan_has_no_shuffle(spark):
         bloom.bloom_positions("text", m=M, k=K)).alias("pos"))
     plan = pos_df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_build_layered_or_identical_and_partition_safe(spark):
+    """Driver-ingress bound (r6): when the scan has more partitions than
+    ``max_partials``, the partials are OR-merged in a second map stage
+    before the collect; the bits are identical to the flat merge (OR is
+    associative/commutative) at ANY partition count."""
+    df = _keys_df(spark, 300)
+    flat = bloom.bloom_build(df.repartition(3), "text", m=M, k=K)
+    layered = bloom.bloom_build(df.repartition(40), "text", m=M, k=K,
+                                max_partials=4)
+    assert layered == flat
+    # and the default threshold leaves small builds on the flat path
+    assert bloom.bloom_build(df.repartition(2), "text", m=M, k=K) == flat

@@ -10,6 +10,7 @@ cache lifetime, plan shape, auto_k sizing).
 
 from __future__ import annotations
 
+import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
@@ -173,3 +174,22 @@ def test_semantic_plans(spark):
         ._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in verdict_plan
     assert "CartesianProduct" not in verdict_plan
+
+
+def test_kmeans_local_fit_matches_distributed(spark):
+    """The driver-local quantizer fit (r6) is bit-identical to the
+    distributed Lloyd's loop: same init, same dim-order assignment fold,
+    same decimal-exact centroid means — asserted on centroids AND
+    assignments, including an empty-cluster round."""
+    rng = np.random.default_rng(7)
+    rows = [(i, list(np.round(rng.normal(size=5) * 3, 3)))
+            for i in range(60)]
+    df = _vec_df(spark, rows)
+    a_loc, c_loc, _ = clustering.kmeans_fit(
+        df, k=6, iters=3, materialize=False)
+    a_dist, c_dist, _ = clustering.kmeans_fit(
+        df, k=6, iters=3, materialize=False, local_fit_max_vectors=0)
+    assert c_loc.shape == c_dist.shape
+    assert (c_loc == c_dist).all()          # exact, not approximate
+    assert sorted(map(tuple, a_loc.collect())) == \
+        sorted(map(tuple, a_dist.collect()))

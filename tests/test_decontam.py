@@ -104,18 +104,26 @@ def test_token_path_matches_text_path(spark):
     assert a == b
 
 
-def test_decontaminate_plan_broadcast_semi_no_cartesian(spark):
+def test_decontaminate_plan_fused_probe_no_cartesian(spark):
+    """r6: the broadcast path fuses the membership probe into the
+    train-side shingle kernel — ONE MapInArrow emitting (id, n_hits) for
+    hit docs only; the per-(doc, shingle) fan-out never crosses the Arrow
+    boundary or a join, the hit count partial-aggregates before its
+    exchange, and no exchange carries the text column."""
     train, evl = _fixtures(spark)
     plan = (decontam.contamination_report(train, evl, k=20)
             ._jdf.queryExecution().executedPlan().toString())
-    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
     assert "CartesianProduct" not in plan
-    # the hit count partial-aggregates before its exchange, and no
-    # exchange carries the text column
-    assert "partial_count" in plan
+    assert plan.count("MapInArrow") == 1       # the fused kernel probe
+    assert "partial_sum" in plan               # map-side partial agg
     for ln in plan.splitlines():
         if "Exchange hashpartitioning" in ln:
             assert "text#" not in ln, ln
+    # the huge-eval escape hatch keeps the relational semi-join shape
+    rel = (decontam.contamination_report(train, evl, k=20,
+                                         broadcast_eval=False)
+           ._jdf.queryExecution().executedPlan().toString())
+    assert "LeftSemi" in rel and "CartesianProduct" not in rel
 
 
 def test_eval_contamination_per_item(spark):

@@ -304,3 +304,13 @@ def test_pack_blocks_no_global_token_sort(spark):
                 continue  # the tiny bucket-totals fold
             assert "__bucket" in line, line
     assert not re.search(r"Sort \[.*tokens", plan)
+
+
+def test_pack_blocks_attach_shuffle_matches_broadcast(spark):
+    """attach="shuffle" (the beyond-broadcast-scale offset re-attach, r6)
+    produces identical blocks to the default broadcast join."""
+    docs = _docs_with_tokens(spark, [5, 0, 3, 8, 2, 7])
+    a = sorted(map(tuple, packing.pack_blocks(docs, block=6).collect()))
+    b = sorted(map(tuple, packing.pack_blocks(docs, block=6,
+                                              attach="shuffle").collect()))
+    assert a == b

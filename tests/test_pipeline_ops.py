@@ -1127,3 +1127,28 @@ def test_drop_contained_keeps_larger_doc(spark):
     out = dedup.drop_contained(df, min_containment=0.9)
     assert out.columns == df.columns
     assert {r["doc_id"] for r in out.collect()} == {"big", "other"}
+
+
+def test_dedup_groups_driver_cc_matches_distributed(spark):
+    """The threshold-gated driver-side union-find (r6) produces exactly
+    the distributed label-propagation result (same min-label components,
+    sizes, canonicals) — and forcing the distributed path still works."""
+    base = ("the streaming engine cleans token sequences and aggregates "
+            "window densities per source with salted two phase plans "
+            "under watermarks and exactly once sinks at corpus scale " * 3)
+    docs = spark.createDataFrame(
+        [("g1", base + "tail one"), ("g2", base + "tail two"),
+         ("g3", base + "tail three"),
+         ("h1", base.replace("engine", "motor") + "x"),
+         ("h2", base.replace("engine", "motor") + "y"),
+         ("solo", "completely unrelated text about nothing in particular "
+                  "that matches no other document in this tiny corpus")],
+        "doc_id string, text string")
+    a = dedup.dedup_groups(docs, jaccard_threshold=0.8)
+    b = dedup.dedup_groups(docs, jaccard_threshold=0.8,
+                           driver_cc_max_pairs=0)
+    ra = sorted(map(tuple, a.collect()))
+    rb = sorted(map(tuple, b.collect()))
+    a.unpersist()
+    b.unpersist()
+    assert ra == rb and len(ra) >= 5
