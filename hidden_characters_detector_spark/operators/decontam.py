@@ -176,9 +176,12 @@ def contamination_report(train: DataFrame, eval_df: DataFrame, *,
     shuffle semi-join for an unusually large eval corpus.
     """
     if broadcast_eval:
+        # dedupe driver-side (np.unique sorts): the relation is
+        # benchmark-sized by design, and skipping the .distinct() saves
+        # its exchange stage inside the eval-build job
         rows = (doc_shingle_hashes(eval_df, text_col, id_col, k=k)
-                .select("shingle_hash").distinct().toPandas())
-        ev = np.sort(rows["shingle_hash"].to_numpy(dtype=np.int64))
+                .select("shingle_hash").toPandas())
+        ev = np.unique(rows["shingle_hash"].to_numpy(dtype=np.int64))
         bc = train.sparkSession.sparkContext.broadcast(ev)
         slim = train.select(id_col, text_col)
         id_type = slim.schema[id_col].dataType.simpleString()
@@ -187,6 +190,18 @@ def contamination_report(train: DataFrame, eval_df: DataFrame, *,
         def run(batches: Iterator[pa.RecordBatch]
                 ) -> Iterator[pa.RecordBatch]:
             evv = bc.value
+            # one-byte prefilter table on the hash low bits (≥8× the
+            # eval count, power of two): most probes resolve with ONE
+            # table read instead of a log2(|eval|)-step binary search;
+            # survivors (true hits + the ≤1/8 false-positive slots) are
+            # confirmed exactly by searchsorted — identical hit set
+            tbl = None
+            tmask = np.int64(0)
+            if evv.size:
+                tsize = 1 << max(16, int(evv.size * 8 - 1).bit_length())
+                tmask = np.int64(tsize - 1)
+                tbl = np.zeros(tsize, dtype=np.uint8)
+                tbl[evv & tmask] = 1
             for batch in batches:
                 h, off = _flat_shingle_hashes(batch.column(text_col), k)
                 sh = h.astype(np.int64)
@@ -195,12 +210,15 @@ def contamination_report(train: DataFrame, eval_df: DataFrame, *,
                 # the HIT positions only: the per-doc distinct lexsort
                 # runs over the leak sliver, not the whole corpus'
                 # shingle stream
+                hit = np.zeros(sh.size, dtype=bool)
                 if sh.size and evv.size:
-                    idx = np.minimum(np.searchsorted(evv, sh),
-                                     evv.size - 1)
-                    hit = evv[idx] == sh
-                else:
-                    hit = np.zeros(sh.size, dtype=bool)
+                    cand = tbl[sh & tmask] == 1
+                    cpos = np.nonzero(cand)[0]
+                    if cpos.size:
+                        sub = sh[cpos]
+                        idx = np.minimum(np.searchsorted(evv, sub),
+                                         evv.size - 1)
+                        hit[cpos[evv[idx] == sub]] = True
                 lens = np.diff(off)
                 nrows = lens.shape[0]
                 counts = np.zeros(nrows, dtype=np.int64)

@@ -94,15 +94,33 @@ def _rolling_hashes(cps: np.ndarray, offsets: np.ndarray, k: int
     total = int(out_offsets[-1])
     if total == 0:
         return np.zeros(0, dtype=np.uint64), out_offsets
-    m = n - k + 1
-    acc = np.zeros(m, dtype=np.uint64)
-    for j in range(k):  # k is a small constant
-        acc = acc * _HASH_BASE + cps[j:j + m]
+    acc = _horner_windows(cps, k)
     # gather only in-document window starts
     pos_in_doc = np.arange(total, dtype=np.int64) - np.repeat(
         out_offsets[:-1], out_lens)
     sel = pos_in_doc + np.repeat(offsets[:-1], out_lens)
     return acc[sel], out_offsets
+
+
+def _horner_windows(cps: np.ndarray, k: int) -> np.ndarray:
+    """All ``k``-window Horner hashes ``H_k[i] = Σ cps[i+j]·B^(k-1-j)``
+    (mod 2^64) over a flat uint64 array, in O(log k) vector passes
+    instead of the naive k-pass loop: the doubling identity
+    ``H_{2s}[i] = H_s[i]·B^s + H_s[i+s]`` (and ``H_{s+1}[i] = H_s[i]·B +
+    cps[i+s]`` for odd bits), with ``B^s`` tracked by repeated squaring.
+    All arithmetic wraps mod 2^64 exactly like the naive loop — modular
+    ring associativity makes the values IDENTICAL bit for bit (asserted
+    in tests against the reference loop)."""
+    H = cps.copy()
+    s = 1
+    for bit in bin(k)[3:]:  # remaining bits after the leading 1
+        pw = np.uint64(pow(int(_HASH_BASE), s, 1 << 64))
+        H = H[:H.size - s] * pw + H[s:]
+        s *= 2
+        if bit == "1":
+            H = H[:H.size - 1] * _HASH_BASE + cps[s:s + H.size - 1]
+            s += 1
+    return H
 
 
 def _unique_per_doc(hashes: np.ndarray, offsets: np.ndarray
@@ -395,7 +413,8 @@ def cross_source_overlap(df: DataFrame, *, text_col: str = "text",
 def containment_pairs(df: DataFrame, *, text_col: str = "text",
                       id_col: str = "doc_id", k: int = 20,
                       min_containment: float = 0.8,
-                      max_shingle_df: int = 100) -> DataFrame:
+                      max_shingle_df: int = 100,
+                      with_sizes: bool = False) -> DataFrame:
     """ASYMMETRIC near-dup pairs by shingle containment (Broder 1997):
     ``containment = |S(A) ∩ S(B)| / min(|S(A)|, |S(B)|)`` — the measure
     that catches a small document quoted verbatim inside a much larger
@@ -416,7 +435,12 @@ def containment_pairs(df: DataFrame, *, text_col: str = "text",
     containment is a LOWER BOUND on the true value — a pair held
     together only by corpus-wide boilerplate should not match anyway.
     Hashes in a single doc are skipped before the join (df ≥ 2 filter —
-    they cannot form a pair)."""
+    they cannot form a pair).
+
+    ``with_sizes=True`` appends each side's distinct-shingle count
+    (``na``, ``nb``) to the output — consumers that need sizes
+    (:func:`drop_contained`) then reuse the one corpus-wide shingle pass
+    this function already pays instead of running a second one."""
     from .decontam import doc_shingle_hashes
 
     sh = doc_shingle_hashes(df, text_col, id_col, k=k)
@@ -440,9 +464,11 @@ def containment_pairs(df: DataFrame, *, text_col: str = "text",
                       F.col("n_shingles").alias("nb"))
     cont = F.round(F.col("n_shared")
                    / F.least("na", "nb").cast("double"), 6)
+    cols = ["doc_a", "doc_b", "n_shared"]
+    if with_sizes:
+        cols += ["na", "nb"]
     return (shared.join(sa, "doc_a").join(sb, "doc_b")
-            .select("doc_a", "doc_b", "n_shared",
-                    cont.alias("containment"))
+            .select(*cols, cont.alias("containment"))
             .where(F.col("containment") >= min_containment))
 
 
@@ -458,24 +484,17 @@ def drop_contained(df: DataFrame, *, text_col: str = "text",
     drops do not cascade (the containing doc keeps its own fate
     independently — both members of a chain A⊂B⊂C can drop, C stays).
 
-    Scale shape: the pair stage is :func:`containment_pairs` (hash-equi,
-    df-capped); sizes are one partial-agged groupBy; the final drop is a
-    broadcast anti-join of the (small) loser-id list — the corpus never
-    shuffles for the verdict (the ``drop_non_representatives``
+    Scale shape: the pair stage is :func:`containment_pairs` with
+    ``with_sizes=True`` — the per-side distinct-shingle counts ride the
+    pair rows out of the one shingle pass that stage already pays
+    (previously a second corpus-wide ``doc_shingle_hashes`` fan-out ran
+    here just to rebuild the identical sizes aggregate); the final drop
+    is a broadcast anti-join of the (small) loser-id list — the corpus
+    never shuffles for the verdict (the ``drop_non_representatives``
     pattern)."""
-    from .decontam import doc_shingle_hashes
-
-    pairs = containment_pairs(df, text_col=text_col, id_col=id_col, k=k,
-                              min_containment=min_containment,
-                              max_shingle_df=max_shingle_df)
-    sizes = (doc_shingle_hashes(df, text_col, id_col, k=k)
-             .groupBy(id_col)
-             .agg(F.count("*").cast("long").alias("n_shingles")))
-    sa = sizes.select(F.col(id_col).alias("doc_a"),
-                      F.col("n_shingles").alias("na"))
-    sb = sizes.select(F.col(id_col).alias("doc_b"),
-                      F.col("n_shingles").alias("nb"))
-    j = pairs.join(sa, "doc_a").join(sb, "doc_b")
+    j = containment_pairs(df, text_col=text_col, id_col=id_col, k=k,
+                          min_containment=min_containment,
+                          max_shingle_df=max_shingle_df, with_sizes=True)
     loser = (F.when(F.col("na") < F.col("nb"), F.col("doc_a"))
              .when(F.col("na") > F.col("nb"), F.col("doc_b"))
              # equal sizes: doc_a < doc_b by construction — keep doc_a

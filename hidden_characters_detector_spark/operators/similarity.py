@@ -184,6 +184,11 @@ def ivf_topk(df: DataFrame, query: Sequence[float], *,
             df.select(id_col, vec_col), vec_col=vec_col, id_col=id_col,
             k=n_lists, iters=iters, n_vectors=n_vectors,
             target_cluster_size=target_cluster_size, materialize=False)
+    # NOTE: the query vector is used AS PASSED (the exhaustive-probe
+    # contract equates this path with cosine_topk over the same raw
+    # query); the BATCH path rounds query vectors to the quantizer's
+    # 6-decimal protocol (ivf_probe_lists via _rounded_vectors), so for
+    # bit-identical single-vs-batch results pass a 6-decimal query here
     probe = rank_ivf_lists(centroids, query, nprobe)
     cand = assigned.where(F.col("cluster").isin(probe))
     return cosine_topk(cand, query, vec_col="v", id_col=id_col, k=k)
@@ -293,11 +298,48 @@ def ivf_batch_topk(corpus: DataFrame, queries: DataFrame, *,
     # corpus vector meets ~nprobe × queries-per-list candidates) — the
     # fold arithmetic (and therefore every cosine bit) is unchanged
     corpus_side = assigned.withColumn("_nv", _norm(F.col("v")))
-    cand = probes.join(corpus_side, "cluster")
-    denom = F.col("_nq") * F.col("_nv")
-    cos = F.when(denom > 0,
-                 F.round(_dot(F.col("qv"), F.col("v")) / denom, 6))
-    scored = (cand.select(query_id, corpus_id, cos.alias("cosine"))
+    cand = (probes.join(corpus_side, "cluster")
+            .select(query_id, corpus_id, "qv", "v",
+                    (F.col("_nq") * F.col("_nv")).alias("_denom")))
+    # the per-candidate dot product is the one O(pairs × dim) fold left:
+    # run it as a vectorized Arrow pass instead of the interpreted
+    # zip_with/aggregate lambda chain — the numpy dim-order accumulation
+    # (acc += q_j·v_j, j ascending, from 0.0) performs the identical
+    # IEEE multiply-add sequence as the JVM left fold, so every cosine
+    # bit is unchanged (and the oracle's list_reduce still matches)
+    qf = cand.schema[query_id]
+    cf = cand.schema[corpus_id]
+    ddl = (f"{qf.name} {qf.dataType.simpleString()}, "
+           f"{cf.name} {cf.dataType.simpleString()}, "
+           "_dot double, _denom double")
+
+    def dots(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            qcol, vcol = b.column("qv"), b.column("v")
+            dim = int(qcol.value_lengths()[0].as_py())
+            Q = qcol.flatten().to_numpy(
+                zero_copy_only=False).reshape(-1, dim)
+            vflat = vcol.flatten().to_numpy(zero_copy_only=False)
+            if vflat.size != Q.size:
+                raise ValueError(
+                    "ivf_batch_topk: corpus vector dim != query dim "
+                    "(ragged candidate batch)")
+            V = vflat.reshape(-1, dim)
+            acc = np.zeros(Q.shape[0], dtype=np.float64)
+            for j in range(dim):
+                acc += Q[:, j] * V[:, j]
+            yield pa.RecordBatch.from_arrays(
+                [b.column(qf.name), b.column(cf.name),
+                 pa.array(acc, type=pa.float64()),
+                 b.column("_denom")],
+                names=[qf.name, cf.name, "_dot", "_denom"])
+
+    scored0 = cand.mapInArrow(dots, ddl)
+    cos = F.when(F.col("_denom") > 0,
+                 F.round(F.col("_dot") / F.col("_denom"), 6))
+    scored = (scored0.select(query_id, corpus_id, cos.alias("cosine"))
               .where(F.col("cosine").isNotNull()))
     w = Window.partitionBy(query_id).orderBy(F.desc("cosine"),
                                              F.asc(corpus_id))
@@ -343,16 +385,20 @@ def pairwise_cosine_in_buckets(df: DataFrame, *, vec_col: str = "embedding",
             n_vectors = df.count()
         nbits = auto_nbits(n_vectors, target_bucket_size=target_bucket_size)
     b = hyperplane_buckets(df.select(id_col, vec_col), vec_col=vec_col,
-                           nbits=nbits, seed=seed)
+                           nbits=nbits, seed=seed) \
+        .withColumn("_n", _norm(F.col(vec_col)))
+    # norms once per ROW before the self-join, not once per pair on each
+    # side (bucket-local pairs multiply every vector ~occupancy×); the
+    # fold arithmetic — and so every cosine bit — is unchanged
     l, r = b.alias("l"), b.alias("r")
     pairs = (l.join(r, (F.col("l.bucket") == F.col("r.bucket"))
                     & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
              .select(F.col(f"l.{id_col}").alias("id_a"),
                      F.col(f"r.{id_col}").alias("id_b"),
                      F.col(f"l.{vec_col}").alias("va"),
-                     F.col(f"r.{vec_col}").alias("vb")))
-    cos = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va"))
-                                            * _norm(F.col("vb")))
+                     F.col(f"r.{vec_col}").alias("vb"),
+                     (F.col("l._n") * F.col("r._n")).alias("_denom")))
+    cos = _dot(F.col("va"), F.col("vb")) / F.col("_denom")
     return (pairs.withColumn("cosine", F.round(cos, 6))
             .where(F.col("cosine") >= min_cosine)
             .select("id_a", "id_b", "cosine"))

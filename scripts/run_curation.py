@@ -31,12 +31,12 @@ Stages, in curation order (each independently switchable):
                              shuffle, detection guaranteed for repeats
                              >= W+K-1 chars — the at-scale setting)
  5. exact dedup            — min-id keeper per content hash
- 5b'. containment dedup    — drop docs ≥TAU shingle-contained in a larger
-                             doc (--containment-drop TAU; the asymmetric
-                             quoting case Jaccard near-dedup misses)
  5b. near-dup dedup        — LSH → verify → groups (--near-dedup), keep
                              the LONGEST member per group (keeper
                              election; --near-threshold)
+ 5b'. containment dedup    — drop docs ≥TAU shingle-contained in a larger
+                             doc (--containment-drop TAU; the asymmetric
+                             quoting case Jaccard near-dedup misses)
  5c. history dedup         — drop docs whose text may already be in the
                              PREVIOUS snapshot (--history: broadcast
                              Bloom membership — zero false negatives,
